@@ -1,0 +1,142 @@
+"""Camera model and ray generation (pure jnp, jit-friendly).
+
+Reference semantics (cited for parity, re-implemented TPU-first):
+  - ray directions use the OpenGL convention with NO +0.5 pixel centering
+    (reference datasets/ray_utils.py:84-104).
+  - `get_rays` returns world-space origins, unit view directions, the
+    unnormalized rotated directions, and MipNeRF pixel radii ``dx * 2/sqrt(12)``
+    (reference datasets/ray_utils.py:133-176).
+  - PD -> NeRF pose axis flip (reference datasets/ray_utils.py:329-332).
+
+Everything here is shape-static and differentiable; ray generation for a whole
+image is a single fused XLA program (broadcasts + one small matmul on the MXU).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+_INV_SQRT12_X2 = 2.0 / np.sqrt(12.0)
+
+
+def get_ray_directions(h: int, w: int, focal) -> jnp.ndarray:
+    """Per-pixel ray directions in the camera frame, shape (H, W, 3).
+
+    OpenGL convention: x right, y up, camera looks down -z. No +0.5 pixel
+    centering (parity with reference ray_utils.py:98-101).
+    """
+    i = jnp.arange(w, dtype=jnp.float32)[None, :]  # (1, W)
+    j = jnp.arange(h, dtype=jnp.float32)[:, None]  # (H, 1)
+    x = (i - w / 2.0) / focal
+    y = -(j - h / 2.0) / focal
+    x = jnp.broadcast_to(x, (h, w))
+    y = jnp.broadcast_to(y, (h, w))
+    z = -jnp.ones((h, w), dtype=jnp.float32)
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def get_rays(directions: jnp.ndarray, c2w: jnp.ndarray):
+    """World-space rays for one camera.
+
+    Args:
+      directions: (..., 3) camera-frame directions (from `get_ray_directions`).
+      c2w: (3, 4) camera-to-world matrix.
+
+    Returns:
+      dict with:
+        rays_o:   (..., 3) ray origins (camera center broadcast).
+        rays_d:   (..., 3) unnormalized world directions.
+        viewdirs: (..., 3) unit world directions.
+    """
+    rays_d = directions @ c2w[:3, :3].T
+    rays_o = jnp.broadcast_to(c2w[:3, 3], rays_d.shape)
+    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    return {"rays_o": rays_o, "rays_d": rays_d, "viewdirs": viewdirs}
+
+
+def pixel_radii(rays_d_image: jnp.ndarray) -> jnp.ndarray:
+    """MipNeRF base radii of pixel cones, from an (H, W, 3) direction image.
+
+    radius = |d[y+1,x] - d[y,x]| * 2/sqrt(12), last row duplicated
+    (parity with reference ray_utils.py:153-160). Returns (H, W, 1).
+    """
+    dx = jnp.sqrt(jnp.sum((rays_d_image[:-1] - rays_d_image[1:]) ** 2, axis=-1))
+    dx = jnp.concatenate([dx, dx[-2:-1]], axis=0)
+    return (dx * _INV_SQRT12_X2)[..., None]
+
+
+def rays_for_camera(h: int, w: int, focal, c2w: jnp.ndarray):
+    """All rays for one camera as flat (H*W, ...) arrays, plus radii.
+
+    One XLA program; no host loops. Returns dict with rays_o, rays_d,
+    viewdirs, radii — each (H*W, 3) / (H*W, 1).
+    """
+    dirs = get_ray_directions(h, w, focal)
+    r = get_rays(dirs, c2w)
+    radii = pixel_radii(r["rays_d"])
+    return {
+        "rays_o": r["rays_o"].reshape(-1, 3),
+        "rays_d": r["rays_d"].reshape(-1, 3),
+        "viewdirs": r["viewdirs"].reshape(-1, 3),
+        "radii": radii.reshape(-1, 1),
+    }
+
+
+def convert_pose_pd_to_nerf(c2w: np.ndarray) -> np.ndarray:
+    """Parallel-Domain -> NeRF camera axis flip (reference ray_utils.py:329-332).
+
+    Right-multiplies by [[1,0,0,0],[0,0,-1,0],[0,1,0,0],[0,0,0,1]].
+    Host-side (numpy): pose preprocessing happens in the data layer.
+    """
+    flip = np.array(
+        [[1, 0, 0, 0], [0, 0, -1, 0], [0, 1, 0, 0], [0, 0, 0, 1]],
+        dtype=c2w.dtype,
+    )
+    return c2w @ flip
+
+
+def opencv_to_opengl(c2w: np.ndarray) -> np.ndarray:
+    """Flip y/z columns: OpenCV -> OpenGL camera (reference ray_utils.py:76-81)."""
+    flip = np.diag(np.array([1.0, -1.0, -1.0, 1.0], dtype=c2w.dtype))
+    return c2w @ flip
+
+
+def ndc_rays(h: int, w: int, focal, near, rays_o: jnp.ndarray, rays_d: jnp.ndarray):
+    """Shift rays to the near plane and map to NDC (reference ray_utils.py:205-246)."""
+    t = -(near + rays_o[..., 2]) / rays_d[..., 2]
+    rays_o = rays_o + t[..., None] * rays_d
+
+    ox_oz = rays_o[..., 0] / rays_o[..., 2]
+    oy_oz = rays_o[..., 1] / rays_o[..., 2]
+    o0 = -1.0 / (w / (2.0 * focal)) * ox_oz
+    o1 = -1.0 / (h / (2.0 * focal)) * oy_oz
+    o2 = 1.0 + 2.0 * near / rays_o[..., 2]
+    d0 = -1.0 / (w / (2.0 * focal)) * (rays_d[..., 0] / rays_d[..., 2] - ox_oz)
+    d1 = -1.0 / (h / (2.0 * focal)) * (rays_d[..., 1] / rays_d[..., 2] - oy_oz)
+    d2 = 1.0 - o2
+    return jnp.stack([o0, o1, o2], -1), jnp.stack([d0, d1, d2], -1)
+
+
+def ray_aabb_intersection(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+                          box_min, box_max):
+    """Vectorized slab test: per-ray (hit, t_near, t_far) against one AABB.
+
+    Replaces the reference's numba-JIT per-ray loop (ray_utils.py:17-68) with a
+    branch-free jnp formulation (VPU-friendly; no data-dependent control flow).
+    Matches the reference's convention that rays starting inside the box (or
+    behind it) report no hit.
+    """
+    box_min = jnp.asarray(box_min, dtype=rays_o.dtype)
+    box_max = jnp.asarray(box_max, dtype=rays_o.dtype)
+    d = jnp.where(rays_d == 0.0, 1.0e-14, rays_d)
+    inv_d = 1.0 / d
+    t0 = (box_min - rays_o) * inv_d
+    t1 = (box_max - rays_o) * inv_d
+    t_small = jnp.minimum(t0, t1)
+    t_big = jnp.maximum(t0, t1)
+    t_near = jnp.max(t_small, axis=-1)
+    t_far = jnp.min(t_big, axis=-1)
+    hit = (t_near <= t_far) & (t_near >= 0.0) & (t_far >= 0.0)
+    zero = jnp.zeros_like(t_near)
+    return hit, jnp.where(hit, t_near, zero), jnp.where(hit, t_far, zero)

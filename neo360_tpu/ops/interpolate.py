@@ -1,0 +1,112 @@
+"""Bilinear sampling and resizing (the reference's `F.grid_sample` /
+`F.interpolate` surface, re-built for TPU).
+
+`grid_sample_2d` matches torch.nn.functional.grid_sample(mode="bilinear",
+align_corners=True) for padding_mode in {"zeros", "border"} — the exact
+semantics used at the reference's three call sites (encoder_pn.py:144-150,
+encoder_tp_fusion_conv.py:180-202, vanilla_nerf/encoder.py:123-130).
+Golden-tested against torch-CPU in tests/test_interpolate.py.
+
+TPU design notes:
+  - images are NHWC; the four corner fetches are one take_along_axis gather
+    each over a (B, H*W, C) view. XLA lowers these to dynamic-gathers; the
+    arithmetic (lerp weights, masks) fuses around them.
+  - `resize_bilinear_align_corners` deliberately does NOT gather: bilinear
+    resize is separable, so it is two dense matmuls with interpolation
+    matrices — MXU work instead of scatter/gather, which is the fast path for
+    the encoder pyramid upsample (reference encoder_pn.py:196-202) and the
+    floorplan Upsample (encoder_tp_fusion_conv.py:375-453).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def grid_sample_2d(image: jnp.ndarray, uv: jnp.ndarray,
+                   padding_mode: str = "zeros") -> jnp.ndarray:
+    """Bilinear sample NHWC images at normalized coords (align_corners=True).
+
+    Args:
+      image: (B, H, W, C).
+      uv: (B, N, 2) with x=u, y=v in [-1, 1]; (-1,-1) is pixel (0,0)'s center.
+      padding_mode: "zeros" | "border".
+
+    Returns:
+      (B, N, C) samples.
+    """
+    b, h, w, c = image.shape
+    ix = (uv[..., 0] + 1.0) * 0.5 * (w - 1)
+    iy = (uv[..., 1] + 1.0) * 0.5 * (h - 1)
+
+    if padding_mode == "border":
+        ix = jnp.clip(ix, 0.0, w - 1)
+        iy = jnp.clip(iy, 0.0, h - 1)
+    elif padding_mode != "zeros":
+        raise ValueError(f"padding_mode {padding_mode!r} not supported")
+
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    x1 = x0 + 1.0
+    y1 = y0 + 1.0
+
+    w00 = (x1 - ix) * (y1 - iy)   # top-left  (x0, y0)
+    w01 = (ix - x0) * (y1 - iy)   # top-right (x1, y0)
+    w10 = (x1 - ix) * (iy - y0)   # bottom-left
+    w11 = (ix - x0) * (iy - y0)   # bottom-right
+
+    flat = image.reshape(b, h * w, c)
+
+    def fetch(xi, yi, wgt):
+        if padding_mode == "zeros":
+            valid = ((xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1))
+            wgt = jnp.where(valid, wgt, 0.0)
+        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        idx = (yc * w + xc)[..., None]                       # (B, N, 1)
+        vals = jnp.take_along_axis(flat, idx, axis=1)        # (B, N, C)
+        return vals * wgt[..., None]
+
+    out = (fetch(x0, y0, w00) + fetch(x1, y0, w01)
+           + fetch(x0, y1, w10) + fetch(x1, y1, w11))
+    return out
+
+
+def in_bounds_mask(uv: jnp.ndarray) -> jnp.ndarray:
+    """|uv| <= 1 per coordinate, shape (B, N, 2) bool (parity with
+    encoder_pn.py:122)."""
+    return jnp.abs(uv) <= 1.0
+
+
+def _interp_matrix(n_out: int, n_in: int) -> np.ndarray:
+    """(n_out, n_in) align_corners=True bilinear interpolation matrix."""
+    if n_in == 1:
+        return np.ones((n_out, 1), dtype=np.float32)
+    if n_out == 1:
+        pos = np.zeros((1,))
+    else:
+        pos = np.linspace(0.0, n_in - 1, n_out)
+    lo = np.clip(np.floor(pos).astype(np.int64), 0, n_in - 1)
+    hi = np.clip(lo + 1, 0, n_in - 1)
+    frac = (pos - lo).astype(np.float32)
+    m = np.zeros((n_out, n_in), dtype=np.float32)
+    rows = np.arange(n_out)
+    m[rows, lo] += 1.0 - frac
+    m[rows, hi] += frac
+    return m
+
+
+def resize_bilinear_align_corners(image: jnp.ndarray,
+                                  out_hw: tuple) -> jnp.ndarray:
+    """Resize (..., H, W, C) -> (..., H', W', C) via two interpolation
+    matmuls (align_corners=True semantics, matching F.interpolate)."""
+    h_out, w_out = out_hw
+    h_in, w_in = image.shape[-3], image.shape[-2]
+    if (h_in, w_in) == (h_out, w_out):
+        return image
+    mh = jnp.asarray(_interp_matrix(h_out, h_in))
+    mw = jnp.asarray(_interp_matrix(w_out, w_in))
+    out = jnp.einsum("oh,...hwc->...owc", mh, image)
+    out = jnp.einsum("ow,...hwc->...hoc", mw, out)
+    return out

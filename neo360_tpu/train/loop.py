@@ -1,0 +1,119 @@
+"""Training loop building blocks (single- and multi-device).
+
+TPU-native design (contrast with the reference's Lightning loop, SURVEY §3.1):
+  - `make_train_step` closes over the model+optimizer and returns a pure
+    (state, batch, key) -> (state, metrics) function; jit it once.
+  - `make_buffer_trainer` runs K optimizer steps per call with an internal
+    `lax.fori_loop`, sampling random ray batches *on device* from a resident
+    HBM ray buffer — zero host round-trips per step, vs. the reference's
+    32-process CPU dataloader feeding 2048-ray batches over PCIe
+    (vanilla_nerf/model.py:439-446).
+  - `make_image_renderer` renders a full image by `lax.map` over fixed-shape
+    ray tiles: one compile, static shapes, no per-chunk re-dispatch (the
+    reference re-runs a Python chunk loop — and for NeO-360 even re-encodes
+    the source images per chunk, neo360/model.py:266-273,825-843).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def create_train_state(params, optimizer) -> TrainState:
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=optimizer.init(params))
+
+
+def make_train_step(loss_fn: Callable, optimizer,
+                    pmean_axis: Optional[str] = None):
+    """loss_fn(params, batch, key) -> (loss, metrics dict).
+
+    Returns train_step(state, batch, key) -> (state, metrics). If `pmean_axis`
+    is set, grads/metrics are psum-averaged over that mapped axis (the
+    data-parallel grad all-reduce, replacing the reference's NCCL DDP —
+    run.py:114,134,154).
+    """
+    def train_step(state: TrainState, batch, key):
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch, key)
+        if pmean_axis is not None:
+            grads = jax.lax.pmean(grads, pmean_axis)
+            metrics = jax.lax.pmean(metrics, pmean_axis)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=params,
+                          opt_state=opt_state), metrics
+    return train_step
+
+
+def make_buffer_trainer(train_step: Callable, batch_size: int,
+                        steps_per_call: int):
+    """Wrap a train_step into a jitted K-step driver over a device-resident
+    ray buffer.
+
+    buffers: dict of (N, ...) arrays (rays_o, viewdirs, rays_d, target, ...).
+    Random indices are drawn per step with jax.random inside the loop, so the
+    whole call is one XLA program.
+    """
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run(state: TrainState, buffers: Dict[str, jnp.ndarray], key):
+        n = next(iter(buffers.values())).shape[0]
+
+        def body(i, carry):
+            state, key, _ = carry
+            key, k_idx, k_step = jax.random.split(key, 3)
+            idx = jax.random.randint(k_idx, (batch_size,), 0, n)
+            batch = {k: v[idx] for k, v in buffers.items()}
+            state, metrics = train_step(state, batch, k_step)
+            return state, key, metrics
+
+        # run step 0 outside to get the metrics structure
+        state, key, metrics = body(0, (state, key, None))
+        state, key, metrics = jax.lax.fori_loop(
+            1, steps_per_call, body, (state, key, metrics))
+        return state, metrics
+
+    return run
+
+
+def make_image_renderer(render_chunk_fn: Callable, chunk: int = 4096):
+    """render_chunk_fn(params, rays_chunk) -> dict of (chunk, ...) outputs.
+
+    Returns render(params, rays) that pads rays to a multiple of `chunk`,
+    lax.map's over tiles, and strips the padding. `rays` is a dict of (N, D)
+    arrays. One jit per distinct padded size (sizes are quantized by `chunk`,
+    so in practice one).
+    """
+    @functools.partial(jax.jit, static_argnames=("n_valid", "n_padded"))
+    def _render(params, rays, n_valid: int, n_padded: int):
+        # edge-replicate padding: padded lanes hold a valid ray, so ray math
+        # (normalization, sphere intersection) stays finite.
+        pad_width = ((0, n_padded - n_valid),) + ((0, 0),) * (
+            next(iter(rays.values())).ndim - 1)
+        padded = {k: jnp.pad(v, pad_width, mode="edge") for k, v in rays.items()}
+        tiled = {k: v.reshape((n_padded // chunk, chunk) + v.shape[1:])
+                 for k, v in padded.items()}
+        out = jax.lax.map(lambda c: render_chunk_fn(params, c), tiled)
+        return {k: v.reshape((n_padded,) + v.shape[2:])[:n_valid]
+                for k, v in out.items()}
+
+    def render(params, rays):
+        n = next(iter(rays.values())).shape[0]
+        n_padded = ((n + chunk - 1) // chunk) * chunk
+        return _render(params, rays, n, n_padded)
+
+    return render

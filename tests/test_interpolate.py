@@ -1,0 +1,66 @@
+"""Golden-value tests of the bilinear sampler against torch-CPU
+F.grid_sample / F.interpolate — the reference's exact primitives."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+from neo360_tpu.ops.interpolate import (  # noqa: E402
+    grid_sample_2d, in_bounds_mask, resize_bilinear_align_corners)
+
+
+def _random_case(seed, b=2, h=7, w=5, c=4, n=64, oob=True):
+    rng = np.random.default_rng(seed)
+    img = rng.normal(size=(b, h, w, c)).astype(np.float32)
+    lim = 1.6 if oob else 1.0
+    uv = rng.uniform(-lim, lim, size=(b, n, 2)).astype(np.float32)
+    return img, uv
+
+
+@pytest.mark.parametrize("padding", ["zeros", "border"])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_grid_sample_matches_torch(padding, seed):
+    img, uv = _random_case(seed)
+    ours = np.asarray(grid_sample_2d(jnp.asarray(img), jnp.asarray(uv),
+                                     padding_mode=padding))
+    t_img = torch.from_numpy(img).permute(0, 3, 1, 2)   # NCHW
+    t_uv = torch.from_numpy(uv).unsqueeze(2)            # (B, N, 1, 2)
+    ref = F.grid_sample(t_img, t_uv, mode="bilinear", padding_mode=padding,
+                        align_corners=True)[..., 0]     # (B, C, N)
+    ref = ref.permute(0, 2, 1).numpy()                  # (B, N, C)
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_grid_sample_exact_corners():
+    img, _ = _random_case(3, n=1)
+    corners = jnp.asarray([[[-1.0, -1.0], [1.0, -1.0], [-1.0, 1.0],
+                            [1.0, 1.0]]] * 2)
+    out = np.asarray(grid_sample_2d(jnp.asarray(img), corners))
+    np.testing.assert_allclose(out[:, 0], img[:, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(out[:, 1], img[:, 0, -1], atol=1e-6)
+    np.testing.assert_allclose(out[:, 2], img[:, -1, 0], atol=1e-6)
+    np.testing.assert_allclose(out[:, 3], img[:, -1, -1], atol=1e-6)
+
+
+def test_in_bounds_mask():
+    uv = jnp.asarray([[[0.0, 0.0], [1.0, -1.0], [1.1, 0.0], [0.0, -1.2]]])
+    m = np.asarray(in_bounds_mask(uv))
+    np.testing.assert_array_equal(
+        m, [[[True, True], [True, True], [False, True], [True, False]]])
+
+
+@pytest.mark.parametrize("shape", [((6, 8), (12, 16)), ((12, 16), (5, 7)),
+                                   ((4, 4), (4, 4))])
+def test_resize_matches_torch_interpolate(shape):
+    (h_in, w_in), (h_out, w_out) = shape
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(2, h_in, w_in, 3)).astype(np.float32)
+    ours = np.asarray(resize_bilinear_align_corners(
+        jnp.asarray(img), (h_out, w_out)))
+    ref = F.interpolate(torch.from_numpy(img).permute(0, 3, 1, 2),
+                        (h_out, w_out), mode="bilinear", align_corners=True)
+    ref = ref.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
