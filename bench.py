@@ -1,0 +1,85 @@
+"""Benchmark: NeO-360 training throughput (rays/sec/chip) on real hardware.
+
+Workload = the reference's default generalizable-training step (SURVEY §6 /
+BASELINE.md): 3 source views at 320x240, 500-ray batch, fg+bg x (128 coarse
++ 256 fine) samples, 64^3 tri-plane grid, MSE + distortion loss, full
+forward+backward+adam update.
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md). We use
+a documented estimate of the PyTorch reference on one A100: Lightning step
+time ~0.3s at 500 rays => ~1,667 rays/s/GPU (BASELINE.md "north star" asks
+for >= 5x at matched PSNR). vs_baseline reports our rays/s/chip over that
+estimate; re-measure the reference if hardware becomes available.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_RAYS_PER_SEC_A100 = 1667.0  # documented estimate, see docstring
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from neo360_tpu.models.neo360 import NeRFTP, neo360_distortion_loss
+    from neo360_tpu.ops import losses as L
+    from neo360_tpu.train import loop as tl
+    from __graft_entry__ import _example_inputs
+
+    n_rays = 512  # reference uses 500; pad to the lane-friendly 512
+    batch = _example_inputs(n_rays=n_rays, hw=(240, 320), seed=0)
+    ray_keys = ("rays_o", "rays_d", "viewdirs", "src_imgs", "src_poses",
+                "src_focal", "src_c")
+
+    model = NeRFTP()  # reference defaults: 128 coarse / 256 fine, 64^3 grid
+    rays = {k: batch[k] for k in ray_keys}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        rays, True, False, train=False)
+    opt = optax.chain(optax.clip_by_global_norm(0.05), optax.adam(5e-4))
+
+    def loss_fn(params, model_state, batch, key):
+        rays = {k: batch[k] for k in ray_keys}
+        out, new_state = model.apply(
+            {"params": params, "batch_stats": model_state},
+            rays, True, False, train=True, rngs={"sampling": key},
+            mutable=["batch_stats"])
+        l0 = L.img2mse(out[0]["rgb"], batch["target"])
+        l1 = L.img2mse(out[1]["rgb"], batch["target"])
+        return (l0 + l1 + neo360_distortion_loss(out),
+                ({"mse": l1}, new_state["batch_stats"]))
+
+    step = jax.jit(tl.make_train_step(loss_fn, opt, with_model_state=True),
+                   donate_argnums=(0,))
+    state = tl.create_train_state(variables["params"], opt,
+                                  variables["batch_stats"])
+
+    key = jax.random.PRNGKey(7)
+    state, m = step(state, batch, key)          # compile
+    jax.block_until_ready(m)
+
+    n_steps = 30
+    t0 = time.time()
+    for i in range(n_steps):
+        state, m = step(state, batch, jax.random.fold_in(key, i))
+    jax.block_until_ready(m)
+    dt = time.time() - t0
+
+    rays_per_sec = n_steps * n_rays / dt
+    print(json.dumps({
+        "metric": "neo360_train_rays_per_sec_per_chip",
+        "value": round(float(rays_per_sec), 1),
+        "unit": "rays/s",
+        "vs_baseline": round(float(rays_per_sec)
+                             / REFERENCE_RAYS_PER_SEC_A100, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

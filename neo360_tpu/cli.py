@@ -1,0 +1,490 @@
+"""Command-line runner — the reference's run.py/opt.py surface
+(reference run.py:33-173) on top of the TPU-native stack.
+
+Usage:
+    python -m neo360_tpu.cli --exp_type neo360 --root_dir <scenes> ...
+    python -m neo360_tpu.cli --exp_type vanilla --root_dir <scene> \
+        --eval_mode full_eval --ckpt_path ckpts/exp/...
+
+exp_type: vanilla | mipnerf360 | pixelnerf | neo360 (alias
+triplanar_nocs_fusion_conv_scene). Training runs fit the reference's four
+presets; eval renders held-out views, computes PSNR/SSIM/LPIPS(+object) and
+writes image/depth/video artifacts + results.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+from typing import Dict
+
+import numpy as np
+
+from neo360_tpu.config import Config, EXP_ALIASES, preset
+
+RAY_KEYS_FEWSHOT = ("rays_o", "rays_d", "viewdirs", "src_imgs", "src_poses",
+                    "src_focal", "src_c")
+
+
+def parse_args(argv=None) -> Config:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--exp_type", required=True)
+    p.add_argument("--root_dir", required=True)
+    p.add_argument("--exp_name", default="exp")
+    p.add_argument("--img_wh", nargs=2, type=int, default=[320, 240])
+    p.add_argument("--white_back", action="store_true")
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--ray_batch_size", type=int, default=500)
+    p.add_argument("--chunk", type=int, default=4096)
+    p.add_argument("--num_src_views", type=int, default=3)
+    p.add_argument("--run_max_steps", type=int, default=100000)
+    p.add_argument("--lr_init", type=float, default=None)
+    p.add_argument("--eval_mode", choices=["full_eval", "vis_only"],
+                   default=None)
+    p.add_argument("--render_name", default="3views")
+    p.add_argument("--is_optimize", action="store_true")
+    p.add_argument("--finetune_lpips", action="store_true")
+    p.add_argument("--ckpt_dir", default="ckpts")
+    p.add_argument("--ckpt_path", default=None)
+    p.add_argument("--lpips_weights", default=None)
+    p.add_argument("--resnet_weights", default=None)
+    p.add_argument("--val_every_steps", type=int, default=5000)
+    p.add_argument("--save_every_steps", type=int, default=5000)
+    p.add_argument("--seed", type=int, default=0)
+    a = p.parse_args(argv)
+
+    overrides = {k: v for k, v in vars(a).items()
+                 if v is not None and k not in ("exp_type", "batch_size",
+                                                "lr_init", "img_wh")}
+    cfg = preset(a.exp_type, **overrides)
+    cfg = cfg.replace(img_wh=tuple(a.img_wh))
+    if a.batch_size is not None:
+        cfg = cfg.replace(batch_size=a.batch_size)
+    if a.lr_init is not None:
+        cfg = cfg.replace(lr_init=a.lr_init)
+    return cfg
+
+
+# ---------------------------------------------------------------------------
+# model / data builders
+# ---------------------------------------------------------------------------
+
+def build_model(cfg: Config):
+    if cfg.exp_type == "vanilla":
+        from neo360_tpu.models.vanilla import VanillaNeRF
+        return VanillaNeRF()
+    if cfg.exp_type == "mipnerf360":
+        from neo360_tpu.models.mipnerf360 import MipNeRF360
+        return MipNeRF360()
+    if cfg.exp_type == "pixelnerf":
+        from neo360_tpu.models.pixelnerf import PixelNeRF
+        return PixelNeRF(num_src_views=cfg.num_src_views)
+    if cfg.exp_type == "neo360":
+        from neo360_tpu.models.neo360 import NeRFTP
+        return NeRFTP(num_src_views=cfg.num_src_views)
+    raise ValueError(cfg.exp_type)
+
+
+def build_optimizer(cfg: Config):
+    import optax
+    from neo360_tpu.train.schedules import nerf_schedule
+    sched = nerf_schedule(cfg.lr_init, cfg.lr_final, cfg.run_max_steps,
+                          cfg.lr_delay_steps, cfg.lr_delay_mult)
+    tx = optax.adam(sched)
+    if cfg.grad_max_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_max_norm), tx)
+    return tx
+
+
+def _maybe_load_resnet(cfg: Config, variables):
+    """Splice converted torchvision ResNet34 weights into the encoder."""
+    from neo360_tpu.nn.resnet import load_pretrained
+    pretrained = load_pretrained(cfg.resnet_weights)
+    if pretrained is None:
+        return variables
+    import flax
+    flat = flax.traverse_util.flatten_dict(variables)
+    pre_p = flax.traverse_util.flatten_dict(
+        {"params": pretrained["params"]})
+    pre_s = flax.traverse_util.flatten_dict(
+        {"batch_stats": pretrained["batch_stats"]})
+    n = 0
+    for key in list(flat.keys()):
+        if "backbone" in key:
+            idx = key.index("backbone")
+            sub = (key[0],) + key[idx + 1:]
+            src = pre_p if key[0] == "params" else pre_s
+            if sub in src and src[sub].shape == flat[key].shape:
+                flat[key] = src[sub]
+                n += 1
+    print(f"loaded {n} pretrained ResNet34 arrays")
+    return flax.traverse_util.unflatten_dict(flat)
+
+
+# ---------------------------------------------------------------------------
+# loss functions per experiment
+# ---------------------------------------------------------------------------
+
+def make_loss_fn(cfg: Config, model, variables, lpips_model=None):
+    import jax.numpy as jnp
+    from neo360_tpu.ops import losses as L
+
+    if cfg.exp_type == "vanilla":
+        def loss_fn(params, batch, key):
+            rays = {k: batch[k] for k in ("rays_o", "rays_d", "viewdirs")}
+            out = model.apply({"params": params}, rays, True,
+                              cfg.white_back, 0.2, 3.0,
+                              rngs={"sampling": key})
+            l0 = L.img2mse(out[0]["rgb"], batch["target"])
+            l1 = L.img2mse(out[1]["rgb"], batch["target"])
+            return l0 + l1, {"mse": l1, "psnr": L.mse2psnr(l1)}
+        return loss_fn
+
+    if cfg.exp_type == "mipnerf360":
+        from neo360_tpu.models.mipnerf360 import (distortion_loss,
+                                                  interlevel_loss)
+
+        def loss_fn(params, batch, key):
+            rays = {k: batch[k] for k in ("rays_o", "rays_d", "viewdirs",
+                                          "radii")}
+            rend, hist = model.apply(
+                {"params": params}, rays, 1.0, True, 0.2, 3.0,
+                rngs={"sampling": key})
+            mse = L.img2mse(rend[-1]["rgb"], batch["target"])
+            loss = (jnp.sqrt(mse + 1e-6) + interlevel_loss(hist)
+                    + 0.01 * distortion_loss(hist))
+            return loss, {"mse": mse, "psnr": L.mse2psnr(mse)}
+        return loss_fn
+
+    if cfg.exp_type == "pixelnerf":
+        # freeze_encoder: finetune/optimize modes keep BN in inference mode
+        # (reference neo360/model.py:957-981)
+        train_bn = not (cfg.is_optimize or cfg.finetune_lpips)
+
+        def loss_fn(params, model_state, batch, key):
+            rays = {k: batch[k] for k in RAY_KEYS_FEWSHOT}
+            out, new_state = model.apply(
+                {"params": params, "batch_stats": model_state},
+                rays, True, cfg.white_back, 0.02, 3.0, train=train_bn,
+                rngs={"sampling": key}, mutable=["batch_stats"])
+            l0 = L.img2mse(out[0]["rgb"], batch["target"])
+            l1 = L.img2mse(out[1]["rgb"], batch["target"])
+            return l0 + l1, ({"mse": l1, "psnr": L.mse2psnr(l1)},
+                             new_state.get("batch_stats", model_state))
+        return loss_fn
+
+    if cfg.exp_type == "neo360":
+        from neo360_tpu.models.neo360 import neo360_distortion_loss
+        train_bn = not (cfg.is_optimize or cfg.finetune_lpips)
+
+        def loss_fn(params, model_state, batch, key):
+            rays = {k: batch[k] for k in RAY_KEYS_FEWSHOT}
+            out, new_state = model.apply(
+                {"params": params, "batch_stats": model_state},
+                rays, True, cfg.white_back, train=train_bn,
+                rngs={"sampling": key}, mutable=["batch_stats"])
+            l0 = L.img2mse(out[0]["rgb"], batch["target"])
+            l1 = L.img2mse(out[1]["rgb"], batch["target"])
+            loss = l0 + l1 + neo360_distortion_loss(out)
+            if cfg.finetune_lpips and lpips_model is not None \
+                    and lpips_model.pretrained:
+                side = int(np.sqrt(batch["target"].shape[0]))
+                pred = jnp.clip(out[1]["rgb"], 0, 1).reshape(
+                    1, side, side, 3)
+                gt = jnp.clip(batch["target"], 0, 1).reshape(
+                    1, side, side, 3)
+                loss = loss + 0.3 * jnp.mean(lpips_model(pred, gt))
+            return loss, ({"mse": l1, "psnr": L.mse2psnr(l1)},
+                          new_state.get("batch_stats", model_state))
+        return loss_fn
+
+    raise ValueError(cfg.exp_type)
+
+
+# ---------------------------------------------------------------------------
+# renderers (encode-once, tiled)
+# ---------------------------------------------------------------------------
+
+def make_render_fn(cfg: Config, model, variables):
+    """Returns render_fn(sample) -> {"rgb","depth"} for full images."""
+    import jax
+    import jax.numpy as jnp
+    from neo360_tpu.train.loop import make_image_renderer
+
+    if cfg.exp_type in ("vanilla", "mipnerf360"):
+        near, far = 0.2, 3.0
+
+        def render_chunk(params, rays):
+            if cfg.exp_type == "vanilla":
+                out = model.apply({"params": params}, rays, False,
+                                  cfg.white_back, near, far)
+                return {"rgb": out[1]["rgb"], "depth": out[1]["depth"]}
+            rend, _ = model.apply({"params": params}, rays, 1.0, False,
+                                  near, far)
+            return {"rgb": rend[-1]["rgb"], "depth": rend[-1]["depth"]}
+
+        renderer = make_image_renderer(render_chunk, cfg.chunk)
+        keys = (("rays_o", "rays_d", "viewdirs") if cfg.exp_type == "vanilla"
+                else ("rays_o", "rays_d", "viewdirs", "radii"))
+
+        def render_fn(sample):
+            rays = {k: jnp.asarray(sample[k]) for k in keys}
+            return renderer(variables["params"], rays)
+        return render_fn
+
+    # few-shot models: encode once per scene, then tile rays
+    if cfg.exp_type == "pixelnerf":
+        from neo360_tpu.models.pixelnerf import PixelNeRF
+
+        def render_fn(sample):
+            src = {k: jnp.asarray(sample[k]) for k in
+                   ("src_imgs", "src_poses", "src_focal", "src_c")}
+            latent = model.apply(variables, src["src_imgs"],
+                                 method=PixelNeRF.encode)
+
+            def render_chunk(params, rays):
+                rays = dict(rays, **src)
+                out = model.apply(
+                    {"params": params["params"],
+                     "batch_stats": variables["batch_stats"]},
+                    rays, False, cfg.white_back, 0.02, 3.0, latent=latent)
+                return {"rgb": out[1]["rgb"], "depth": out[1]["depth"]}
+
+            renderer = make_image_renderer(render_chunk, cfg.chunk)
+            rays = {k: jnp.asarray(sample[k]) for k in
+                    ("rays_o", "rays_d", "viewdirs")}
+            return renderer(dict(variables), rays)
+        return render_fn
+
+    if cfg.exp_type == "neo360":
+        from neo360_tpu.models.neo360 import NeRFTP
+
+        def render_fn(sample):
+            src = {k: jnp.asarray(sample[k]) for k in
+                   ("src_imgs", "src_poses", "src_focal", "src_c")}
+            encoded = model.apply(
+                variables, src["src_imgs"], src["src_poses"],
+                src["src_focal"], src["src_c"], method=NeRFTP.encode)
+
+            def render_chunk(params, rays):
+                rays = dict(rays, **src)
+                out = model.apply(
+                    {"params": params["params"],
+                     "batch_stats": variables["batch_stats"]},
+                    rays, False, cfg.white_back, out_depth=True,
+                    encoded=encoded)
+                return {"rgb": out[1]["rgb"], "depth": out[1]["depth"]}
+
+            renderer = make_image_renderer(render_chunk, cfg.chunk)
+            rays = {k: jnp.asarray(sample[k]) for k in
+                    ("rays_o", "rays_d", "viewdirs")}
+            return renderer(dict(variables), rays)
+        return render_fn
+
+    raise ValueError(cfg.exp_type)
+
+
+# ---------------------------------------------------------------------------
+# train / eval drivers
+# ---------------------------------------------------------------------------
+
+def _init_variables(cfg: Config, model, example_batch):
+    import jax
+    rngs = {"params": jax.random.PRNGKey(cfg.seed),
+            "sampling": jax.random.PRNGKey(cfg.seed + 1)}
+    if cfg.exp_type == "vanilla":
+        rays = {k: example_batch[k] for k in ("rays_o", "rays_d", "viewdirs")}
+        return model.init(rngs, rays, True, cfg.white_back, 0.2, 3.0)
+    if cfg.exp_type == "mipnerf360":
+        rays = {k: example_batch[k] for k in ("rays_o", "rays_d", "viewdirs",
+                                              "radii")}
+        return model.init(rngs, rays, 0.0, True, 0.2, 3.0)
+    rays = {k: example_batch[k] for k in RAY_KEYS_FEWSHOT}
+    if cfg.exp_type == "pixelnerf":
+        return model.init(rngs, rays, True, cfg.white_back, 0.02, 3.0)
+    return model.init(rngs, rays, True, cfg.white_back)
+
+
+def run_train(cfg: Config):
+    import jax
+    import jax.numpy as jnp
+    from neo360_tpu.train import loop as tl
+    from neo360_tpu.train.checkpoints import CheckpointManager
+    from neo360_tpu.train.logging import MetricsLogger
+    from neo360_tpu.train.metrics import psnr as psnr_metric
+
+    exp_dir = os.path.join(cfg.ckpt_dir, cfg.exp_name)
+    logger = MetricsLogger(exp_dir)
+    ckpt = CheckpointManager(os.path.join(exp_dir, "orbax"),
+                             keep_all=cfg.is_optimize)
+    lpips_model = None
+    if cfg.finetune_lpips or cfg.lpips_weights:
+        from neo360_tpu.nn.lpips import LPIPSModel
+        lpips_model = LPIPSModel(cfg.lpips_weights)
+
+    model = build_model(cfg)
+    optimizer = build_optimizer(cfg)
+
+    if cfg.exp_type in ("vanilla", "mipnerf360"):
+        from neo360_tpu.data.nerds360 import NeRDS360
+        train_ds = NeRDS360(cfg.root_dir, "train", cfg.img_wh,
+                            cfg.white_back)
+        val_ds = NeRDS360(cfg.root_dir, "val", cfg.img_wh, cfg.white_back)
+        buffers = train_ds.ray_buffers()
+        example = {k: v[:4] for k, v in buffers.items()}
+        variables = _init_variables(cfg, model, example)
+        loss_fn = make_loss_fn(cfg, model, variables)
+        step_fn = tl.make_train_step(loss_fn, optimizer)
+        state = tl.create_train_state(variables["params"], optimizer)
+        runner = tl.make_buffer_trainer(step_fn, cfg.batch_size,
+                                        cfg.steps_per_call)
+        key = jax.random.PRNGKey(cfg.seed + 2)
+        step = 0
+        while step < cfg.run_max_steps:
+            key = jax.random.fold_in(key, step)
+            state, m = runner(state, buffers, key)
+            step += cfg.steps_per_call
+            logger.log(step, {k: float(v) for k, v in m.items()})
+            if step % cfg.save_every_steps < cfg.steps_per_call:
+                variables = dict(variables, params=state.params)
+                render_fn = make_render_fn(cfg, model, variables)
+                sample = val_ds.image_rays(0)
+                out = render_fn(sample)
+                w, h = cfg.img_wh
+                val_psnr = float(psnr_metric(
+                    out["rgb"].reshape(h, w, 3),
+                    jnp.asarray(sample["target"]).reshape(h, w, 3)))
+                logger.log(step, {"val_psnr": val_psnr})
+                ckpt.save(step, jax.device_get(state),
+                          {"val_psnr": val_psnr})
+        ckpt.wait()
+        return state
+
+    # few-shot experiments
+    from neo360_tpu.data.nerds360_ae import NeRDS360AE
+    from neo360_tpu.train.pipeline import prefetch_to_device, train_iterator
+    train_ds = NeRDS360AE(
+        cfg.root_dir, "train", cfg.img_wh, cfg.num_src_views,
+        cfg.ray_batch_size, optimize=cfg.is_optimize,
+        finetune_lpips=cfg.finetune_lpips)
+    val_ds = NeRDS360AE(cfg.root_dir, "val", cfg.img_wh, cfg.num_src_views)
+    rng = np.random.default_rng(cfg.seed)
+    example = {k: jnp.asarray(v)
+               for k, v in train_ds.sample_train(rng).items()}
+    variables = _init_variables(cfg, model, example)
+    variables = _maybe_load_resnet(cfg, variables)
+    loss_fn = make_loss_fn(cfg, model, variables, lpips_model)
+    step_fn = jax.jit(tl.make_train_step(loss_fn, optimizer,
+                                         with_model_state=True),
+                      donate_argnums=(0,))
+    state = tl.create_train_state(variables["params"], optimizer,
+                                  variables["batch_stats"])
+
+    key = jax.random.PRNGKey(cfg.seed + 2)
+    it = prefetch_to_device(train_iterator(train_ds, cfg.seed), size=2)
+    for step, sample in enumerate(it):
+        if step >= cfg.run_max_steps:
+            break
+        batch = {k: sample[k] for k in RAY_KEYS_FEWSHOT + ("target",)}
+        state, m = step_fn(state, batch, jax.random.fold_in(key, step))
+        if step % cfg.log_every_steps == 0:
+            logger.log(step, {k: float(v) for k, v in m.items()})
+        if step > 0 and step % cfg.save_every_steps == 0:
+            variables = {"params": state.params,
+                         "batch_stats": state.model_state}
+            render_fn = make_render_fn(cfg, model, variables)
+            sample_v = val_ds.sample_val(0)
+            out = render_fn(sample_v)
+            w, h = cfg.img_wh
+            from neo360_tpu.train.metrics import psnr as _psnr
+            val_psnr = float(_psnr(
+                out["rgb"].reshape(h, w, 3),
+                jnp.asarray(sample_v["target"]).reshape(h, w, 3)))
+            logger.log(step, {"val_psnr": val_psnr})
+            ckpt.save(step, jax.device_get(state), {"val_psnr": val_psnr})
+    ckpt.wait()
+    return state
+
+
+def run_eval(cfg: Config):
+    import jax
+    from neo360_tpu.train import eval as ev
+    from neo360_tpu.train.checkpoints import CheckpointManager
+    from neo360_tpu.train.loop import TrainState
+
+    model = build_model(cfg)
+    optimizer = build_optimizer(cfg)
+    exp_dir = os.path.join(cfg.ckpt_dir, cfg.exp_name)
+
+    lpips_model = None
+    if cfg.lpips_weights:
+        from neo360_tpu.nn.lpips import LPIPSModel
+        lpips_model = LPIPSModel(cfg.lpips_weights)
+
+    if cfg.exp_type in ("vanilla", "mipnerf360"):
+        from neo360_tpu.data.nerds360 import NeRDS360
+        test_ds = NeRDS360(cfg.root_dir, "test", cfg.img_wh, cfg.white_back)
+        example = {k: v for k, v in test_ds.image_rays(0).items()}
+        variables = _init_variables(
+            cfg, model, {k: v[:4] for k, v in example.items()
+                         if k != "instance_mask"})
+        state = _restore(cfg, exp_dir, variables, optimizer)
+        variables = dict(variables, params=state.params)
+        render_fn = make_render_fn(cfg, model, variables)
+        samples = (test_ds.image_rays(i) for i in range(test_ds.num_images))
+    else:
+        from neo360_tpu.data.nerds360_ae import NeRDS360AE
+        test_ds = NeRDS360AE(cfg.root_dir, "test", cfg.img_wh,
+                             cfg.num_src_views)
+        import jax.numpy as jnp
+        rng = np.random.default_rng(0)
+        example = {k: jnp.asarray(v)
+                   for k, v in test_ds.sample_test(0, 0).items()
+                   if k != "img_wh"}
+        variables = _init_variables(cfg, model, example)
+        state = _restore(cfg, exp_dir, variables, optimizer)
+        variables = {"params": state.params,
+                     "batch_stats": state.model_state
+                     if state.model_state is not None
+                     else variables.get("batch_stats")}
+        render_fn = make_render_fn(cfg, model, variables)
+        n_dest = len(test_ds.scene_meta(test_ds.scene_ids[0]).c2w_test)
+        samples = (test_ds.sample_test(s, d)
+                   for s in range(len(test_ds.scene_ids))
+                   for d in range(n_dest))
+
+    result = ev.evaluate_images(render_fn, samples, cfg.img_wh, lpips_model)
+    out_dir = os.path.join(exp_dir, cfg.render_name)
+    summary = ev.save_eval_artifacts(
+        result, out_dir,
+        results_json=os.path.join(exp_dir, "results.json"),
+        video=(cfg.eval_mode == "vis_only"))
+    print("eval summary:", summary)
+    return summary
+
+
+def _restore(cfg: Config, exp_dir: str, variables, optimizer):
+    import jax
+    from neo360_tpu.train import loop as tl
+    from neo360_tpu.train.checkpoints import CheckpointManager
+    ckpt = CheckpointManager(
+        cfg.ckpt_path or os.path.join(exp_dir, "orbax"))
+    template = tl.create_train_state(variables["params"], optimizer,
+                                     variables.get("batch_stats"))
+    restored = ckpt.restore(jax.device_get(template))
+    if restored is None:
+        print("WARNING: no checkpoint found; evaluating random init")
+        return template
+    return restored
+
+
+def main(argv=None):
+    cfg = parse_args(argv)
+    if cfg.eval_mode is not None:
+        return run_eval(cfg)
+    return run_train(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,86 @@
+"""Experiment configuration — the reference's ~60 argparse flags (opt.py:4-354)
+collapsed into one dataclass with the four experiment presets of SURVEY §2.3.
+
+Model hyperparameters that the reference hardcodes in constructors (sample
+counts, MLP shapes) live on the model classes; this config carries the
+run-level knobs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+EXP_TYPES = ("vanilla", "mipnerf360", "pixelnerf", "neo360")
+# reference name for neo360: "triplanar_nocs_fusion_conv_scene" (run.py:41)
+EXP_ALIASES = {"triplanar_nocs_fusion_conv_scene": "neo360"}
+
+
+@dataclass
+class Config:
+    # experiment
+    exp_type: str = "neo360"
+    exp_name: str = "exp"
+    root_dir: str = ""
+    dataset_name: str = "nerds360"         # nerds360 | nerds360_ae
+    img_wh: Tuple[int, int] = (320, 240)
+    white_back: bool = False
+
+    # sampling / rendering
+    batch_size: int = 1024                 # rays per step (vanilla/mip)
+    ray_batch_size: int = 500              # rays per AE sample (few-shot)
+    chunk: int = 4096                      # eval rays per tile
+    num_src_views: int = 3
+
+    # optimization
+    run_max_steps: int = 100000
+    lr_init: float = 5.0e-4
+    lr_final: float = 5.0e-6
+    lr_delay_steps: int = 2500
+    lr_delay_mult: float = 0.01
+    grad_max_norm: float = 0.0             # 0 = no clipping
+    steps_per_call: int = 100              # fori_loop steps per jit call
+
+    # run modes
+    eval_mode: Optional[str] = None        # None | full_eval | vis_only
+    render_name: str = "3views"
+    is_optimize: bool = False              # few-shot test-time optimization
+    finetune_lpips: bool = False
+    ckpt_dir: str = "ckpts"
+    ckpt_path: Optional[str] = None
+    lpips_weights: Optional[str] = None    # torch VGG16+lin checkpoint
+    resnet_weights: Optional[str] = None   # torchvision resnet34 state_dict
+
+    # eval cadence
+    val_every_steps: int = 5000
+    save_every_steps: int = 5000
+    log_every_steps: int = 100
+
+    seed: int = 0
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def preset(exp_type: str, **overrides) -> Config:
+    """The four reference presets (SURVEY §2.3)."""
+    exp_type = EXP_ALIASES.get(exp_type, exp_type)
+    if exp_type == "vanilla":
+        cfg = Config(exp_type="vanilla", dataset_name="nerds360",
+                     batch_size=2048, lr_init=5e-4, lr_final=5e-6,
+                     lr_delay_steps=2500)
+    elif exp_type == "mipnerf360":
+        cfg = Config(exp_type="mipnerf360", dataset_name="nerds360",
+                     batch_size=2048, lr_init=2e-3, lr_final=2e-5,
+                     lr_delay_steps=512)
+    elif exp_type == "pixelnerf":
+        cfg = Config(exp_type="pixelnerf", dataset_name="nerds360_ae",
+                     lr_init=5e-4, lr_final=5e-6)
+    elif exp_type == "neo360":
+        cfg = Config(exp_type="neo360", dataset_name="nerds360_ae",
+                     lr_init=5e-4, lr_final=5e-6, grad_max_norm=0.05)
+    else:
+        raise ValueError(f"unknown exp_type {exp_type!r}; "
+                         f"expected one of {EXP_TYPES}")
+    return cfg.replace(**overrides)

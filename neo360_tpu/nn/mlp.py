@@ -5,12 +5,9 @@
 into a 1x128 view-conditioned branch, separate density and rgb heads,
 xavier-uniform kernel init.
 
-`NeRFPPMLP` — parity with reference models/neo360/model.py:37-158: 4x128
-trunk with skips every `skip_layer` layers, multi-source-view *average fusion*
-at `combine_layer` (the per-point features of the NV source views are averaged
-mid-trunk, reference `combine_interleaved` neo360/model.py:130-150), view
-branch of `netdepth_condition` layers at `netwidth_condition`, optional NOCS
-head.
+`combine_interleaved` — multi-source-view *average fusion* used mid-trunk by
+the conditioned MLPs in models/pixelnerf.py and models/neo360.py (reference
+neo360/model.py:130-150, util.py:599-609).
 
 TPU notes: every Dense here maps onto the MXU; feature dims are chosen by the
 configs (256/128) which XLA pads to lane width. The batch axis is
@@ -78,57 +75,3 @@ def combine_interleaved(x: jnp.ndarray, num_views: int) -> jnp.ndarray:
         return x
     return jnp.mean(
         x.reshape((num_views, -1) + x.shape[1:]), axis=0)
-
-
-class NeRFPPMLP(nn.Module):
-    """NeO-360 conditioned MLP with mid-trunk multi-view average fusion.
-
-    Input per point: pos_enc(point) ++ local latent (512) ++ world latent
-    (128); evaluated for all `num_src_views` in the leading batch factor and
-    mean-fused after `combine_layer` trunk layers.
-    """
-
-    netdepth: int = 4
-    netwidth: int = 128
-    netdepth_condition: int = 2
-    netwidth_condition: int = 64
-    skip_layer: int = 2
-    combine_layer: int = 3
-    num_rgb_channels: int = 3
-    num_density_channels: int = 1
-    use_nocs: bool = False
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, viewdirs_enc: jnp.ndarray,
-                 num_views: int = 1):
-        """x: (NV*B, S, D) fused-conditioning inputs; viewdirs_enc: (NV*B, Dv).
-
-        Returns (raw_rgb, raw_density[, raw_nocs]) at (B, S, ...) after fusion.
-        """
-        dense = lambda w, name: nn.Dense(w, kernel_init=_XAVIER, name=name)
-
-        inputs = x
-        for idx in range(self.netdepth):
-            if idx == self.combine_layer:
-                x = combine_interleaved(x, num_views)
-                inputs = combine_interleaved(inputs, num_views)
-            x = nn.relu(dense(self.netwidth, f"pts_{idx}")(x))
-            if idx % self.skip_layer == 0 and idx > 0 and idx != self.combine_layer:
-                x = jnp.concatenate([x, inputs], axis=-1)
-
-        raw_density = dense(self.num_density_channels, "density")(x)
-
-        bottleneck = dense(self.netwidth, "bottleneck")(x)
-        viewdirs_enc = combine_interleaved(viewdirs_enc, num_views)
-        cond = jnp.broadcast_to(
-            viewdirs_enc[..., None, :],
-            bottleneck.shape[:-1] + (viewdirs_enc.shape[-1],))
-        h = jnp.concatenate([bottleneck, cond], axis=-1)
-        for idx in range(self.netdepth_condition):
-            h = nn.relu(dense(self.netwidth_condition, f"views_{idx}")(h))
-        raw_rgb = dense(self.num_rgb_channels, "rgb")(h)
-
-        if self.use_nocs:
-            raw_nocs = dense(3, "nocs")(x)
-            return raw_rgb, raw_density, raw_nocs
-        return raw_rgb, raw_density

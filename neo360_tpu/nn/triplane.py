@@ -1,0 +1,192 @@
+"""Tri-planar world representation — NeO-360's GridEncoder
+(reference models/neo360/encoder_tp_fusion_conv.py:263-598) in Flax/NHWC.
+
+Pipeline per source-view batch:
+  1. SpatialEncoder -> 512-ch pixel-aligned latent.
+  2. A 64^3 world grid on [-1,1] x [-1,1] x [0,1] is transformed into every
+     camera, projected (fy negated), and bilinear-samples the latent
+     (zeros padding).
+  3. [feat512, cam-xyz3, world-dir3] -> DepthPillarEncoder MLP -> 512.
+  4. Per-axis softmax pillar aggregation conditioned on the orthogonal world
+     coordinate collapses the 3D grid into three 2D floorplans
+     (yz <- sum over X, xz <- sum over Y, xy <- sum over Z).
+  5. Each floorplan runs a small conv net (stride-2 x2, upsample back,
+     final resize to 120x160) -> 128-ch planes.
+
+`index_grid` samples the three planes at camera-frame coordinate pairs
+(x,z), (x,y), (y,z) used DIRECTLY as [-1,1] uv (the reference's deliberate
+convention, encoder_tp_fusion_conv.py:126-135) and sums them.
+
+TPU notes: step 2-3 is ~NV * 262k grid points through dense matmuls — pure
+MXU; the projection sampling is the gather-lerp op from ops/interpolate. The
+whole encoder is wrapped in jax.checkpoint by the model to keep the 1.6 GB
+grid activations out of the backward residue.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from neo360_tpu.core import geometry
+from neo360_tpu.nn.resnet import SpatialEncoder, index_latent
+from neo360_tpu.ops.interpolate import (grid_sample_2d,
+                                        resize_bilinear_align_corners)
+
+_KAIMING_N = nn.initializers.kaiming_normal()
+
+
+def _bias_init(key, shape, dtype=jnp.float32):
+    """U(-1e-3, 1e-3), parity with init_weights_kaiming (reference :255-260)."""
+    import jax
+    return jax.random.uniform(key, shape, dtype, -1e-3, 1e-3)
+
+
+class DepthPillarEncoder(nn.Module):
+    """[feat, cam-xyz, dir] -> latent (reference :263-279)."""
+
+    features: int = 512
+
+    @nn.compact
+    def __call__(self, x):
+        dense = lambda w, name: nn.Dense(
+            w, kernel_init=_KAIMING_N, bias_init=_bias_init, name=name)
+        x = nn.relu(dense(self.features, "fc0")(x))
+        x = nn.relu(dense(self.features, "fc1")(x))
+        return dense(self.features, "depth")(x)
+
+
+class PillarAggregator(nn.Module):
+    """MLP(latent ++ orthogonal-world-coord) -> scalar logit (:364-373)."""
+
+    features: int = 512
+
+    @nn.compact
+    def __call__(self, x):
+        dense = lambda w, name: nn.Dense(
+            w, kernel_init=_KAIMING_N, bias_init=_bias_init, name=name)
+        return dense(1, "out")(nn.relu(dense(self.features, "hidden")(x)))
+
+
+class FloorplanConvNet(nn.Module):
+    """512-ch floorplan -> 128-ch plane at plane_hw (:375-397)."""
+
+    plane_hw: Tuple[int, int] = (120, 160)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        conv = lambda c, s, name: nn.Conv(
+            c, (3, 3), strides=(s, s), padding=[(1, 1), (1, 1)],
+            kernel_init=_KAIMING_N, bias_init=_bias_init, name=name)
+        norm = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            name=name)
+        x = nn.relu(norm("bn0")(conv(256, 2, "conv0")(x)))
+        x = nn.relu(norm("bn1")(conv(128, 2, "conv1")(x)))
+        x = nn.relu(norm("bn2")(conv(128, 1, "conv2")(x)))
+        x = resize_bilinear_align_corners(
+            x, (x.shape[-3] * 2, x.shape[-2] * 2))
+        x = nn.relu(norm("bn3")(conv(128, 1, "conv3")(x)))
+        x = resize_bilinear_align_corners(x, self.plane_hw)
+        return conv(128, 1, "conv4")(x)
+
+
+class GridEncoder(nn.Module):
+    """Source views -> three 128-ch tri-planes (reference :282-598)."""
+
+    grid_size: Sequence[int] = (64, 64, 64)
+    side_lengths: Sequence[float] = (1.0, 1.0, 1.0)
+    plane_hw: Tuple[int, int] = (120, 160)
+    latent_size: int = 512
+
+    def setup(self):
+        self.spatial_encoder = SpatialEncoder(name="spatial_encoder")
+        self.depth_fc = DepthPillarEncoder(self.latent_size, name="depth_fc")
+        self.pillar_yz = PillarAggregator(self.latent_size, name="pillar_yz")
+        self.pillar_xz = PillarAggregator(self.latent_size, name="pillar_xz")
+        self.pillar_xy = PillarAggregator(self.latent_size, name="pillar_xy")
+        self.floorplan_yz = FloorplanConvNet(self.plane_hw, name="floorplan_yz")
+        self.floorplan_xz = FloorplanConvNet(self.plane_hw, name="floorplan_xz")
+        self.floorplan_xy = FloorplanConvNet(self.plane_hw, name="floorplan_xy")
+
+    def __call__(self, images: jnp.ndarray, poses: jnp.ndarray,
+                 focal: jnp.ndarray, c: jnp.ndarray, train: bool = False):
+        """images (NV, H, W, 3) in [-1,1]; poses (NV, 4, 4); focal (NV,);
+        c (NV, 2).
+
+        Returns (plane_xz, plane_xy, plane_yz) each (NV, 120, 160, 128) and
+        the pixel latent (NV, H/2, W/2, 512) for local-feature indexing.
+        """
+        nv, h, w, _ = images.shape
+        gx, gy, gz = self.grid_size
+        sx, sy, sz = self.side_lengths
+
+        pixel_latent = self.spatial_encoder(images, train)
+
+        world_grid = geometry.get_world_grid(
+            [[-sx, sx], [-sy, sy], [0.0, sz]], list(self.grid_size))
+        world_grids = geometry.repeat_interleave(world_grid, nv)  # (NV,G,3)
+        camera_grids = geometry.world2camera(world_grids, poses)
+
+        mask = (camera_grids[..., 2] < 1e-3).astype(images.dtype)
+        cam_dir = world_grids - poses[:, None, :3, 3]
+        cam_dir = cam_dir / jnp.linalg.norm(
+            cam_dir + 1e-9, axis=-1, keepdims=True)
+        cam_dir = cam_dir * mask[..., None]
+
+        focal2 = jnp.stack([focal[0], -focal[0]])[None]   # (1, 2), -fy
+        uv = geometry.projection(camera_grids, focal2, c[:1], nv)
+        latent, _ = index_latent(pixel_latent, uv, (w, h),
+                                 padding_mode="zeros")    # (NV, G, 512)
+
+        latent = jnp.concatenate([latent, camera_grids, cam_dir], axis=-1)
+        latent = self.depth_fc(latent)                    # (NV, G, 512)
+        latent = latent.reshape(nv, gx, gy, gz, self.latent_size)
+
+        wg = world_grid.reshape(1, gx, gy, gz, 3)
+        world_x = jnp.broadcast_to(wg[..., 0:1], latent.shape[:-1] + (1,))
+        world_y = jnp.broadcast_to(wg[..., 1:2], latent.shape[:-1] + (1,))
+        world_z = jnp.broadcast_to(wg[..., 2:3], latent.shape[:-1] + (1,))
+
+        w_yz = nn.softmax(self.pillar_yz(
+            jnp.concatenate([latent, world_x], -1)), axis=1)
+        w_xz = nn.softmax(self.pillar_xz(
+            jnp.concatenate([latent, world_y], -1)), axis=2)
+        w_xy = nn.softmax(self.pillar_xy(
+            jnp.concatenate([latent, world_z], -1)), axis=3)
+
+        floor_yz = jnp.sum(latent * w_yz, axis=1)   # (NV, Y, Z, 512)
+        floor_xz = jnp.sum(latent * w_xz, axis=2)   # (NV, X, Z, 512)
+        floor_xy = jnp.sum(latent * w_xy, axis=3)   # (NV, X, Y, 512)
+
+        plane_yz = self.floorplan_yz(floor_yz, train)
+        plane_xz = self.floorplan_xz(floor_xz, train)
+        plane_xy = self.floorplan_xy(floor_xy, train)
+        return (plane_xz, plane_xy, plane_yz), pixel_latent
+
+
+def index_grid(samples: jnp.ndarray, planes, poses: jnp.ndarray,
+               num_src_views: int) -> jnp.ndarray:
+    """Sample + sum the three planes at camera-frame coordinate slices.
+
+    samples: (B, S, 3) world points (or bg linear points). planes:
+    (plane_xz, plane_xy, plane_yz) each (NV, Hp, Wp, 128). Returns
+    (NV, B*S, 128) view-major world latents.
+
+    Parity with reference index_grid (encoder_tp_fusion_conv.py:122-209):
+    camera-frame coordinates are used directly as normalized uv.
+    """
+    plane_xz, plane_xy, plane_yz = planes
+    flat = samples.reshape(1, -1, 3)
+    cam = geometry.world2camera(flat, poses, ns=num_src_views)  # (NV, N, 3)
+
+    uv_xz = cam[..., jnp.asarray([0, 2])]
+    uv_yz = cam[..., jnp.asarray([1, 2])]
+    uv_xy = cam[..., jnp.asarray([0, 1])]
+
+    lat = (grid_sample_2d(plane_xz, uv_xz, padding_mode="zeros")
+           + grid_sample_2d(plane_xy, uv_xy, padding_mode="zeros")
+           + grid_sample_2d(plane_yz, uv_yz, padding_mode="zeros"))
+    return lat

@@ -30,25 +30,40 @@ class TrainState:
     step: jnp.ndarray
     params: Any
     opt_state: Any
+    model_state: Any = None     # non-trainable collections (batch_stats)
 
 
-def create_train_state(params, optimizer) -> TrainState:
+def create_train_state(params, optimizer, model_state=None) -> TrainState:
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                      opt_state=optimizer.init(params))
+                      opt_state=optimizer.init(params),
+                      model_state=model_state)
 
 
 def make_train_step(loss_fn: Callable, optimizer,
-                    pmean_axis: Optional[str] = None):
-    """loss_fn(params, batch, key) -> (loss, metrics dict).
+                    pmean_axis: Optional[str] = None,
+                    with_model_state: bool = False):
+    """Build train_step(state, batch, key) -> (state, metrics).
 
-    Returns train_step(state, batch, key) -> (state, metrics). If `pmean_axis`
-    is set, grads/metrics are psum-averaged over that mapped axis (the
-    data-parallel grad all-reduce, replacing the reference's NCCL DDP —
-    run.py:114,134,154).
+    loss_fn signature:
+      default:            (params, batch, key) -> (loss, metrics)
+      with_model_state:   (params, model_state, batch, key)
+                            -> (loss, (metrics, new_model_state))
+        for models with mutable collections (BatchNorm running stats).
+
+    If `pmean_axis` is set, grads/metrics are psum-averaged over that mapped
+    axis (the data-parallel grad all-reduce, replacing the reference's NCCL
+    DDP — run.py:114,134,154). Under jit over a sharded mesh the all-reduce
+    is inserted automatically and `pmean_axis` is unnecessary.
     """
     def train_step(state: TrainState, batch, key):
-        (loss, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, batch, key)
+        if with_model_state:
+            (loss, (metrics, model_state)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, state.model_state,
+                                       batch, key)
+        else:
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, batch, key)
+            model_state = state.model_state
         if pmean_axis is not None:
             grads = jax.lax.pmean(grads, pmean_axis)
             metrics = jax.lax.pmean(metrics, pmean_axis)
@@ -56,7 +71,7 @@ def make_train_step(loss_fn: Callable, optimizer,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(step=state.step + 1, params=params,
-                          opt_state=opt_state), metrics
+                          opt_state=opt_state, model_state=model_state), metrics
     return train_step
 
 

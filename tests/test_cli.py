@@ -1,0 +1,139 @@
+import os
+
+import numpy as np
+import pytest
+
+from neo360_tpu import cli
+from neo360_tpu.config import preset
+
+
+def test_presets_match_reference():
+    v = preset("vanilla")
+    assert (v.lr_init, v.lr_final, v.lr_delay_steps) == (5e-4, 5e-6, 2500)
+    m = preset("mipnerf360")
+    assert (m.lr_init, m.lr_final, m.lr_delay_steps) == (2e-3, 2e-5, 512)
+    n = preset("triplanar_nocs_fusion_conv_scene")   # reference alias
+    assert n.exp_type == "neo360"
+    assert n.grad_max_norm == 0.05
+    with pytest.raises(ValueError):
+        preset("bogus")
+
+
+def test_parse_args_roundtrip(tmp_path):
+    cfg = cli.parse_args([
+        "--exp_type", "vanilla", "--root_dir", str(tmp_path),
+        "--img_wh", "64", "48", "--batch_size", "128",
+        "--run_max_steps", "50", "--exp_name", "t"])
+    assert cfg.exp_type == "vanilla"
+    assert cfg.img_wh == (64, 48)
+    assert cfg.batch_size == 128
+    assert cfg.run_max_steps == 50
+
+
+@pytest.mark.slow
+def test_vanilla_train_then_eval(micro_scene, tmp_path, monkeypatch):
+    """Full CLI path: train a tiny vanilla NeRF, checkpoint, then eval."""
+    from neo360_tpu.models.vanilla import VanillaNeRF
+
+    def tiny_build(cfg):
+        assert cfg.exp_type == "vanilla"
+        return VanillaNeRF(num_coarse_samples=8, num_fine_samples=8)
+
+    monkeypatch.setattr(cli, "build_model", tiny_build)
+    args = ["--exp_type", "vanilla", "--root_dir", micro_scene,
+            "--img_wh", "40", "30", "--batch_size", "256",
+            "--run_max_steps", "200", "--exp_name", "t",
+            "--ckpt_dir", str(tmp_path),
+            "--save_every_steps", "100", "--chunk", "600"]
+    cfg = cli.parse_args(args)
+    cfg = cfg.replace(steps_per_call=100)
+    state = cli.run_train(cfg)
+    assert int(state.step) == 200
+
+    metrics_file = os.path.join(str(tmp_path), "t", "metrics.jsonl")
+    assert os.path.exists(metrics_file)
+
+    cfg_eval = cli.parse_args(args + ["--eval_mode", "full_eval"])
+    cfg_eval = cfg_eval.replace(chunk=600)
+    summary = cli.run_eval(cfg_eval)
+    assert "psnr" in summary and "ssim" in summary
+    assert np.isfinite(summary["psnr"])
+    out_dir = os.path.join(str(tmp_path), "t", "3views")
+    assert any(f.endswith(".jpg") for f in os.listdir(out_dir))
+    assert os.path.exists(os.path.join(str(tmp_path), "t", "results.json"))
+
+
+@pytest.mark.slow
+def test_neo360_cli_train_smoke(multi_scene_root, tmp_path, monkeypatch):
+    from neo360_tpu.models.neo360 import NeRFTP
+
+    def tiny_build(cfg):
+        return NeRFTP(num_coarse_samples=6, num_fine_samples=6,
+                      grid_size=(8, 8, 8), remat_encoder=False,
+                      num_src_views=cfg.num_src_views)
+
+    monkeypatch.setattr(cli, "build_model", tiny_build)
+    cfg = cli.parse_args([
+        "--exp_type", "neo360", "--root_dir", multi_scene_root,
+        "--img_wh", "40", "30", "--run_max_steps", "12",
+        "--ray_batch_size", "64", "--exp_name", "n",
+        "--ckpt_dir", str(tmp_path), "--save_every_steps", "1000"])
+    state = cli.run_train(cfg)
+    metrics_file = os.path.join(str(tmp_path), "n", "metrics.jsonl")
+    assert os.path.exists(metrics_file)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    import optax
+    from neo360_tpu.train import loop as tl
+    from neo360_tpu.train.checkpoints import CheckpointManager
+
+    params = {"w": jnp.arange(4.0), "b": jnp.ones((2, 2))}
+    opt = optax.adam(1e-3)
+    state = tl.create_train_state(params, opt)
+    mgr = CheckpointManager(str(tmp_path / "ck"), max_to_keep=2)
+    import jax
+    mgr.save(1, jax.device_get(state), {"val_psnr": 10.0})
+    mgr.save(2, jax.device_get(state), {"val_psnr": 20.0})
+    mgr.wait()
+    assert mgr.latest_step() == 2
+    restored = mgr.restore(jax.device_get(state))
+    np.testing.assert_allclose(np.asarray(restored.params["w"]),
+                               np.arange(4.0))
+    mgr.close()
+
+
+def test_io_outputs(tmp_path):
+    from neo360_tpu.utils import io
+    rgbs = [np.random.default_rng(i).uniform(size=(8, 10, 3))
+            for i in range(3)]
+    depths = [np.random.default_rng(i).uniform(0, 5, size=(8, 10))
+              for i in range(3)]
+    paths = io.store_image(str(tmp_path), rgbs)
+    assert len(paths) == 3 and all(os.path.exists(p) for p in paths)
+    io.store_depth_img(str(tmp_path), depths)
+    io.store_depth_raw(str(tmp_path), depths)
+    stats = io.write_stats(str(tmp_path / "results.json"),
+                           psnr={"test": 20.0}, ssim=0.9, lpips=None)
+    assert os.path.exists(stats)
+    vid = io.store_video(str(tmp_path), rgbs)
+    assert os.path.exists(vid)
+
+
+def test_eval_helpers():
+    from neo360_tpu.train.eval import object_psnr, spiral_pose, trajectory_360
+    rgb = np.full((8, 8, 3), 0.5)
+    tgt = np.full((8, 8, 3), 0.6)
+    mask = np.zeros((8, 8), bool)
+    assert object_psnr(rgb, tgt, mask) is None
+    mask[2:5, 3:6] = True
+    val = object_psnr(rgb, tgt, mask)
+    np.testing.assert_allclose(val, 20.0, rtol=1e-5)
+
+    pose = np.eye(4)
+    traj = trajectory_360(pose, 10)
+    assert traj.shape == (10, 4, 4)
+    assert not np.allclose(traj[0], traj[1])
+    # rotation untouched
+    np.testing.assert_allclose(traj[3][:3, :3], np.eye(3))

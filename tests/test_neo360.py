@@ -1,0 +1,187 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neo360_tpu.models.neo360 import (NeRFTP, NeRFTPMLP,
+                                      neo360_distortion_loss)
+from neo360_tpu.nn.triplane import GridEncoder, index_grid
+
+
+def _tiny_model(**kw):
+    cfg = dict(num_coarse_samples=6, num_fine_samples=6,
+               grid_size=(8, 8, 8), remat_encoder=False)
+    cfg.update(kw)
+    return NeRFTP(**cfg)
+
+
+def _batch(multi_scene_root, n_rays=8):
+    from neo360_tpu.data.nerds360_ae import NeRDS360AE
+    ds = NeRDS360AE(multi_scene_root, split="train", img_wh=(40, 30),
+                    ray_batch_size=n_rays, dest_views_per_sample=4)
+    s = ds.sample_train(np.random.default_rng(0))
+    return ds, {k: jnp.asarray(v) for k, v in s.items()}
+
+
+RAY_KEYS = ("rays_o", "rays_d", "viewdirs", "src_imgs", "src_poses",
+            "src_focal", "src_c")
+
+
+def test_mlp_shapes_and_fusion():
+    mlp = NeRFTPMLP(netwidth=32, netwidth_condition=16)
+    nv, b, s = 3, 4, 6
+    x = jnp.ones((nv * b, s, 63))
+    vd = jnp.ones((nv * b, 27))
+    wl = jnp.ones((nv * b, s, 128))
+    ll = jnp.ones((nv * b, s, 512))
+    params = mlp.init(jax.random.PRNGKey(0), x, vd, wl, ll, nv)
+    rgb, dens = mlp.apply(params, x, vd, wl, ll, nv)
+    assert rgb.shape == (b, s, 3)
+    assert dens.shape == (b, s, 1)
+
+
+def test_grid_encoder_planes(multi_scene_root):
+    _, batch = _batch(multi_scene_root)
+    enc = GridEncoder(grid_size=(8, 8, 8), plane_hw=(24, 32))
+    variables = enc.init(jax.random.PRNGKey(0), batch["src_imgs"],
+                         batch["src_poses"], batch["src_focal"],
+                         batch["src_c"], False)
+    (pxz, pxy, pyz), pixel_latent = enc.apply(
+        variables, batch["src_imgs"], batch["src_poses"],
+        batch["src_focal"], batch["src_c"], False)
+    assert pxz.shape == (3, 24, 32, 128)
+    assert pxy.shape == (3, 24, 32, 128)
+    assert pyz.shape == (3, 24, 32, 128)
+    assert pixel_latent.shape == (3, 15, 20, 512)
+    for p in (pxz, pxy, pyz):
+        assert np.all(np.isfinite(np.asarray(p)))
+
+
+def test_index_grid_sums_planes(multi_scene_root):
+    _, batch = _batch(multi_scene_root)
+    rng = np.random.default_rng(0)
+    planes = tuple(jnp.asarray(rng.normal(size=(3, 8, 10, 16)), jnp.float32)
+                   for _ in range(3))
+    samples = jnp.asarray(rng.uniform(-0.5, 0.5, size=(4, 5, 3)), jnp.float32)
+    out = index_grid(samples, planes, batch["src_poses"], 3)
+    assert out.shape == (3, 20, 16)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_neo360_forward_and_composition(multi_scene_root):
+    ds, batch = _batch(multi_scene_root)
+    model = _tiny_model()
+    rays = {k: batch[k] for k in RAY_KEYS}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        rays, True, False)
+    out = model.apply(variables, rays, True, False, out_depth=True,
+                      rngs={"sampling": jax.random.PRNGKey(2)})
+    assert len(out) == 2
+    fine = out[1]
+    assert fine["rgb"].shape == (8, 3)
+    assert fine["depth"].shape == (8,)
+    # comp = fg + bg_lambda * bg
+    np.testing.assert_allclose(
+        np.asarray(fine["rgb"]),
+        np.asarray(fine["fg_rgb"] + fine["bg_lambda"] * fine["bg_rgb"]),
+        rtol=1e-5, atol=1e-6)
+    assert np.all(np.asarray(fine["bg_lambda"]) >= 0)
+    assert np.all(np.asarray(fine["bg_lambda"]) <= 1 + 1e-5)
+    for k in ("rgb", "fg_weights", "bg_weights", "fg_sdist", "bg_sdist"):
+        assert np.all(np.isfinite(np.asarray(fine[k]))), k
+
+
+def test_neo360_encode_once_matches_inline(multi_scene_root):
+    ds, batch = _batch(multi_scene_root, n_rays=4)
+    model = _tiny_model()
+    rays = {k: batch[k] for k in RAY_KEYS}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        rays, True, False)
+    encoded = model.apply(variables, rays["src_imgs"], rays["src_poses"],
+                          rays["src_focal"], rays["src_c"],
+                          method=NeRFTP.encode)
+    a = model.apply(variables, rays, False, False)
+    b = model.apply(variables, rays, False, False, encoded=encoded)
+    np.testing.assert_allclose(np.asarray(a[1]["rgb"]),
+                               np.asarray(b[1]["rgb"]), atol=1e-6)
+
+
+def test_neo360_grads_flow(multi_scene_root):
+    ds, batch = _batch(multi_scene_root, n_rays=4)
+    model = _tiny_model()
+    rays = {k: batch[k] for k in RAY_KEYS}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        rays, True, False)
+    target = batch["target"]
+
+    def loss_fn(params):
+        out = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            rays, True, False, rngs={"sampling": jax.random.PRNGKey(2)})
+        mse = jnp.mean((out[-1]["rgb"] - target) ** 2)
+        return mse + neo360_distortion_loss(out)
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(loss))
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
+    # every major component receives gradient
+    for name in ("encoder", "fg_fine_mlp", "bg_fine_mlp"):
+        sub = jax.tree_util.tree_leaves(grads[name])
+        assert any(float(jnp.abs(g).max()) > 0 for g in sub), name
+
+
+def test_distortion_loss_positive(multi_scene_root):
+    ds, batch = _batch(multi_scene_root, n_rays=4)
+    model = _tiny_model()
+    rays = {k: batch[k] for k in RAY_KEYS}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        rays, True, False)
+    out = model.apply(variables, rays, False, False)
+    val = float(neo360_distortion_loss(out))
+    assert np.isfinite(val) and val >= 0
+
+
+@pytest.mark.slow
+def test_neo360_overfit_smoke(multi_scene_root):
+    """Tiny NeO-360 fits a single scene's rays (few-shot machinery e2e)."""
+    import optax
+    from neo360_tpu.data.nerds360_ae import NeRDS360AE
+    from neo360_tpu.ops import losses as L
+    from neo360_tpu.train import loop as tl
+
+    ds = NeRDS360AE(multi_scene_root, split="train", img_wh=(40, 30),
+                    ray_batch_size=64, dest_views_per_sample=3)
+    model = _tiny_model(num_coarse_samples=8, num_fine_samples=8)
+    rng = np.random.default_rng(0)
+    s0 = {k: jnp.asarray(v) for k, v in ds.sample_train(rng).items()}
+    rays0 = {k: s0[k] for k in RAY_KEYS}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        rays0, True, False)
+    opt = optax.adam(5e-4)
+
+    def loss_fn(p, batch, key):
+        rays = {k: batch[k] for k in RAY_KEYS}
+        out = model.apply(
+            {"params": p["params"], "batch_stats": variables["batch_stats"]},
+            rays, True, False, rngs={"sampling": key})
+        l0 = L.img2mse(out[0]["rgb"], batch["target"])
+        l1 = L.img2mse(out[1]["rgb"], batch["target"])
+        return l0 + l1 + neo360_distortion_loss(out), {"mse": l1}
+
+    step = jax.jit(tl.make_train_step(loss_fn, opt))
+    state = tl.create_train_state(dict(variables), opt)
+    key = jax.random.PRNGKey(3)
+    mses = []
+    for i in range(30):
+        s = {k: jnp.asarray(v) for k, v in ds.sample_train(rng).items()}
+        batch = {k: s[k] for k in RAY_KEYS + ("target",)}
+        state, m = step(state, batch, jax.random.fold_in(key, i))
+        mses.append(float(m["mse"]))
+    assert np.isfinite(mses).all()
+    assert np.mean(mses[-5:]) < np.mean(mses[:5]), mses
