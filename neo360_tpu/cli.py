@@ -306,6 +306,18 @@ def _init_variables(cfg: Config, model, example_batch):
     return model.init(rngs, rays, True, cfg.white_back)
 
 
+def _maybe_resume(ckpt, state):
+    """Resume from the latest checkpoint in this experiment dir, if any
+    (the reference's resume_from_checkpoint wiring, run.py:84-102)."""
+    import jax
+    latest = ckpt.latest_step()
+    if latest is None:
+        return state, 0
+    restored = ckpt.restore(jax.device_get(state))
+    print(f"resumed from checkpoint step {latest}")
+    return restored, int(latest)
+
+
 def run_train(cfg: Config):
     import jax
     import jax.numpy as jnp
@@ -337,10 +349,11 @@ def run_train(cfg: Config):
         loss_fn = make_loss_fn(cfg, model, variables)
         step_fn = tl.make_train_step(loss_fn, optimizer)
         state = tl.create_train_state(variables["params"], optimizer)
+        state, start_step = _maybe_resume(ckpt, state)
         runner = tl.make_buffer_trainer(step_fn, cfg.batch_size,
                                         cfg.steps_per_call)
         key = jax.random.PRNGKey(cfg.seed + 2)
-        step = 0
+        step = start_step
         while step < cfg.run_max_steps:
             key = jax.random.fold_in(key, step)
             state, m = runner(state, buffers, key)
@@ -380,10 +393,11 @@ def run_train(cfg: Config):
                       donate_argnums=(0,))
     state = tl.create_train_state(variables["params"], optimizer,
                                   variables["batch_stats"])
+    state, start_step = _maybe_resume(ckpt, state)
 
     key = jax.random.PRNGKey(cfg.seed + 2)
     it = prefetch_to_device(train_iterator(train_ds, cfg.seed), size=2)
-    for step, sample in enumerate(it):
+    for step, sample in enumerate(it, start=start_step):
         if step >= cfg.run_max_steps:
             break
         batch = {k: sample[k] for k in RAY_KEYS_FEWSHOT + ("target",)}

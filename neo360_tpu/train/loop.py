@@ -105,14 +105,24 @@ def make_buffer_trainer(train_step: Callable, batch_size: int,
     return run
 
 
-def make_image_renderer(render_chunk_fn: Callable, chunk: int = 4096):
+def make_image_renderer(render_chunk_fn: Callable, chunk: int = 4096,
+                        mesh=None):
     """render_chunk_fn(params, rays_chunk) -> dict of (chunk, ...) outputs.
 
     Returns render(params, rays) that pads rays to a multiple of `chunk`,
     lax.map's over tiles, and strips the padding. `rays` is a dict of (N, D)
     arrays. One jit per distinct padded size (sizes are quantized by `chunk`,
     so in practice one).
+
+    With a `mesh`, each tile's rays are sharded over the mesh's "data" axis —
+    the NeRF analogue of context parallelism: every chip renders a slice of
+    the tile and XLA gathers the outputs (replacing the reference's eval-time
+    Lightning all_gather, interface.py:30-50).
     """
+    if mesh is not None and chunk % mesh.shape["data"] != 0:
+        raise ValueError(f"chunk {chunk} must divide by data axis "
+                         f"{mesh.shape['data']}")
+
     @functools.partial(jax.jit, static_argnames=("n_valid", "n_padded"))
     def _render(params, rays, n_valid: int, n_padded: int):
         # edge-replicate padding: padded lanes hold a valid ray, so ray math
@@ -122,6 +132,11 @@ def make_image_renderer(render_chunk_fn: Callable, chunk: int = 4096):
         padded = {k: jnp.pad(v, pad_width, mode="edge") for k, v in rays.items()}
         tiled = {k: v.reshape((n_padded // chunk, chunk) + v.shape[1:])
                  for k, v in padded.items()}
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(mesh, P(None, "data"))
+            tiled = {k: jax.lax.with_sharding_constraint(v, sh)
+                     for k, v in tiled.items()}
         out = jax.lax.map(lambda c: render_chunk_fn(params, c), tiled)
         return {k: v.reshape((n_padded,) + v.shape[2:])[:n_valid]
                 for k, v in out.items()}
