@@ -14,6 +14,7 @@ image is a single fused XLA program (broadcasts + one small matmul on the MXU).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -116,6 +117,39 @@ def ndc_rays(h: int, w: int, focal, near, rays_o: jnp.ndarray, rays_d: jnp.ndarr
     d1 = -1.0 / (h / (2.0 * focal)) * (rays_d[..., 1] / rays_d[..., 2] - oy_oz)
     d2 = 1.0 - o2
     return jnp.stack([o0, o1, o2], -1), jnp.stack([d0, d1, d2], -1)
+
+
+def sample_rays_in_bbox(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+                        rotations: jnp.ndarray, translations: jnp.ndarray,
+                        half_extents: jnp.ndarray):
+    """Per-ray near/far against a set of oriented object boxes.
+
+    Vectorized replacement for the reference's numba loop chain
+    (neo360/helper.py:325-373: transform rays to each box frame, slab test,
+    merge near/far across objects with its zero-as-missing convention).
+
+    rotations (K,3,3), translations (K,3), half_extents (K,3) describe K
+    boxes; rays (N,3). Returns (near (N,1), far (N,1), mask (N,1)) where
+    mask marks rays hitting at least one box.
+    """
+    rot_t = jnp.swapaxes(rotations, -1, -2)                       # world->box
+    o_box = jnp.einsum("kij,nj->kni", rot_t, rays_o) - jnp.einsum(
+        "kij,kj->ki", rot_t, translations)[:, None, :]
+    d_box = jnp.einsum("kij,nj->kni", rot_t, rays_d)
+
+    def one_box(o, d, ext):
+        return ray_aabb_intersection(o, d, -ext, ext)
+
+    hit, near, far = jax.vmap(one_box)(o_box, d_box, half_extents)
+    # reference merge: zeros mean "miss"; take min over hits per ray
+    big = jnp.where(hit, near, jnp.inf)
+    near_min = jnp.min(big, axis=0)
+    far_min = jnp.min(jnp.where(hit, far, jnp.inf), axis=0)
+    any_hit = jnp.any(hit, axis=0)
+    zero = jnp.zeros_like(near_min)
+    return (jnp.where(any_hit, near_min, zero)[:, None],
+            jnp.where(any_hit, far_min, zero)[:, None],
+            any_hit[:, None])
 
 
 def ray_aabb_intersection(rays_o: jnp.ndarray, rays_d: jnp.ndarray,

@@ -96,6 +96,36 @@ def volumetric_rendering_nerfpp(
     return comp_rgb, acc, weights, bg_lambda, depth
 
 
+def volume_rendering_volsdf(rgb: jnp.ndarray, density: jnp.ndarray,
+                            t_vals: jnp.ndarray, dirs: jnp.ndarray,
+                            white_bkgd: bool):
+    """VolSDF-style compositing in log space (reference
+    vanilla_nerf/helper.py:488-518): free energy = density * dists,
+    transmittance = exp(-cumsum), final interval width 1 (not 1e10).
+
+    rgb (B,S,3), density (B,S) or (B,S,1), t_vals (B,S), dirs (B,3).
+    """
+    density = density[..., 0] if density.ndim == rgb.ndim else density
+    dists = jnp.concatenate(
+        [t_vals[..., 1:] - t_vals[..., :-1],
+         jnp.ones_like(t_vals[..., :1])], axis=-1)
+    dists = dists * jnp.linalg.norm(dirs[..., None, :], axis=-1)
+    free_energy = dists * density
+    shifted = jnp.concatenate(
+        [jnp.zeros_like(free_energy[..., :1]), free_energy[..., :-1]],
+        axis=-1)
+    alpha = 1.0 - jnp.exp(-free_energy)
+    trans = jnp.exp(-jnp.cumsum(shifted, axis=-1))
+    weights = alpha * trans
+
+    comp_rgb = jnp.sum(weights[..., None] * rgb, axis=-2)
+    depth = jnp.sum(weights * t_vals, axis=-1)
+    acc = jnp.sum(weights, axis=-1)
+    if white_bkgd:
+        comp_rgb = comp_rgb + (1.0 - acc[..., None])
+    return comp_rgb, acc, weights, depth
+
+
 def compute_alpha_weights(density: jnp.ndarray, tdist: jnp.ndarray,
                           dirs: jnp.ndarray, opaque_background: bool = False):
     """MipNeRF-360 weights from per-interval densities.

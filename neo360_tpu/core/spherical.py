@@ -58,7 +58,12 @@ def depth2pts_outside(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     p_sphere = rays_o + (d1 + d2) * rays_d
 
     rot_axis = jnp.cross(rays_o, p_sphere)
-    rot_axis = rot_axis / (jnp.linalg.norm(rot_axis, axis=-1, keepdims=True))
+    # eps: rays through the origin have rays_o || p_sphere (zero cross
+    # product); their rotation angle is also 0, so the guarded axis cancels
+    # exactly instead of producing 0/0 (the reference divides unguarded,
+    # helper.py:432 — NaN for center-pixel rays).
+    rot_axis = rot_axis / (jnp.linalg.norm(rot_axis, axis=-1, keepdims=True)
+                           + 1e-10)
     phi = jnp.arcsin(jnp.clip(p_mid_norm, -1.0, 1.0))
     theta = jnp.arcsin(jnp.clip(p_mid_norm * depth[..., None], -1.0, 1.0))
     rot_angle = phi - theta  # (..., 1)

@@ -140,13 +140,19 @@ def _write_split(split_dir: str, c2ws_nerf: np.ndarray, w: int, h: int,
 
 
 def make_micro_scene(root: str, n_train: int = 103, n_val: int = 5,
-                     wh: Tuple[int, int] = (40, 30), focal: float = 35.0,
+                     wh: Tuple[int, int] = (40, 30), focal: float = None,
                      radius: float = 8.0, seed: int = 0) -> str:
     """Write one micro scene under `root`; returns `root`.
 
     n_train >= 101 so the loader's 100-train/rest-val split has both sides.
+    focal defaults to 1.1 * width (~49 deg horizontal FOV) so that, like the
+    real NERDS360 captures, every camera ray intersects the unit sphere after
+    pose normalization — the NeRF++ background parameterization requires it
+    (reference neo360/helper.py:271 asserts it).
     """
     w, h = wh
+    if focal is None:
+        focal = 1.1 * w
     obj_location = np.array([0.5, 0.3, 0.2])
     _write_split(os.path.join(root, "train"),
                  _camera_ring(n_train, radius, seed), w, h, focal, radius,

@@ -160,6 +160,12 @@ class NeRFTP(nn.Module):
 
         near = jnp.full_like(rays["rays_o"][..., :1], 1e-4)
         far = spherical.intersect_sphere(rays["rays_o"], rays["rays_d"])
+        # Rays that miss the unit sphere (possible when normalized camera
+        # norms exceed 1 at wide FOV) would give far < near -> negative
+        # interval widths -> diverging alphas. The reference hard-asserts the
+        # invariant (helper.py:271); we clamp so stray rays degrade
+        # gracefully instead of poisoning the batch.
+        far = jnp.maximum(far, 2e-4)
 
         viewdirs_cam = geometry.world2camera_viewdirs(
             rays["viewdirs"][None], poses, ns=nv)          # (NV, B, 3)
