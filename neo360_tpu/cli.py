@@ -52,6 +52,8 @@ def parse_args(argv=None) -> Config:
     p.add_argument("--val_every_steps", type=int, default=5000)
     p.add_argument("--save_every_steps", type=int, default=5000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 compute in encoders/MLPs (params stay f32)")
     a = p.parse_args(argv)
 
     overrides = {k: v for k, v in vars(a).items()
@@ -71,18 +73,21 @@ def parse_args(argv=None) -> Config:
 # ---------------------------------------------------------------------------
 
 def build_model(cfg: Config):
+    import jax.numpy as jnp
+    dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
     if cfg.exp_type == "vanilla":
         from neo360_tpu.models.vanilla import VanillaNeRF
         return VanillaNeRF()
     if cfg.exp_type == "mipnerf360":
         from neo360_tpu.models.mipnerf360 import MipNeRF360
-        return MipNeRF360()
+        return MipNeRF360(compute_dtype=dtype)
     if cfg.exp_type == "pixelnerf":
         from neo360_tpu.models.pixelnerf import PixelNeRF
-        return PixelNeRF(num_src_views=cfg.num_src_views)
+        return PixelNeRF(num_src_views=cfg.num_src_views,
+                         compute_dtype=dtype)
     if cfg.exp_type == "neo360":
         from neo360_tpu.models.neo360 import NeRFTP
-        return NeRFTP(num_src_views=cfg.num_src_views)
+        return NeRFTP(num_src_views=cfg.num_src_views, compute_dtype=dtype)
     raise ValueError(cfg.exp_type)
 
 
@@ -388,23 +393,31 @@ def run_train(cfg: Config):
     variables = _init_variables(cfg, model, example)
     variables = _maybe_load_resnet(cfg, variables)
     loss_fn = make_loss_fn(cfg, model, variables, lpips_model)
-    step_fn = jax.jit(tl.make_train_step(loss_fn, optimizer,
-                                         with_model_state=True),
-                      donate_argnums=(0,))
+    step_fn = tl.make_train_step(loss_fn, optimizer, with_model_state=True)
+    stage_size = max(1, min(cfg.steps_per_call, cfg.save_every_steps))
+    staged = tl.make_staged_trainer(step_fn)
     state = tl.create_train_state(variables["params"], optimizer,
                                   variables["batch_stats"])
     state, start_step = _maybe_resume(ckpt, state)
 
+    def staged_iterator():
+        rng = np.random.default_rng(cfg.seed)
+        keys = RAY_KEYS_FEWSHOT + ("target",)
+        while True:
+            samples = [train_ds.sample_train(rng) for _ in range(stage_size)]
+            yield tl.stack_batches(samples, keys)
+
     key = jax.random.PRNGKey(cfg.seed + 2)
-    it = prefetch_to_device(train_iterator(train_ds, cfg.seed), size=2)
-    for step, sample in enumerate(it, start=start_step):
+    it = prefetch_to_device(staged_iterator(), size=2)
+    step = start_step
+    for i, batches in enumerate(it):
         if step >= cfg.run_max_steps:
             break
-        batch = {k: sample[k] for k in RAY_KEYS_FEWSHOT + ("target",)}
-        state, m = step_fn(state, batch, jax.random.fold_in(key, step))
-        if step % cfg.log_every_steps == 0:
+        state, m = staged(state, batches, jax.random.fold_in(key, i))
+        step += stage_size
+        if step % cfg.log_every_steps < stage_size:
             logger.log(step, {k: float(v) for k, v in m.items()})
-        if step > 0 and step % cfg.save_every_steps == 0:
+        if step > 0 and step % cfg.save_every_steps < stage_size:
             variables = {"params": state.params,
                          "batch_stats": state.model_state}
             render_fn = make_render_fn(cfg, model, variables)

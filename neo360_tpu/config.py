@@ -34,6 +34,7 @@ class Config:
     num_src_views: int = 3
 
     # optimization
+    bf16: bool = False                     # bf16 compute in encoders/MLPs
     run_max_steps: int = 100000
     lr_init: float = 5.0e-4
     lr_final: float = 5.0e-6

@@ -97,7 +97,12 @@ class NeRDS360AE:
                  finetune_lpips: bool = False,
                  patch_size: int = 30,
                  samples_per_epoch: int = 9600,
-                 image_cache_scenes: int = 4):
+                 image_cache_scenes: int = 256):
+        # image_cache_scenes counts (scene, kind) entries of decoded+resized
+        # images. At 320x240 the FULL NERDS360 train set decoded is ~7 GB
+        # (75 scenes x 100 views x ~0.9 MB), so the default keeps everything
+        # resident after first touch — decode-once, then RAM. The reference
+        # re-decodes PNGs in 32 worker processes every epoch instead.
         self.root_dir = root_dir
         self.split = split
         self.img_wh = tuple(img_wh)

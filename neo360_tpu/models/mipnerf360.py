@@ -45,6 +45,7 @@ class MipNeRF360MLP(nn.Module):
     basis_shape: str = "icosahedron"
     basis_subdivision: int = 2
     disable_rgb: bool = False
+    dtype: Any = jnp.float32
 
     def setup(self):
         self.pos_basis = jnp.asarray(
@@ -69,13 +70,14 @@ class MipNeRF360MLP(nn.Module):
         x = encoding.integrated_pos_enc(
             lifted_means, lifted_vars, self.min_deg_point, self.max_deg_point)
 
-        dense = lambda w, name: nn.Dense(w, kernel_init=_KAIMING, name=name)
+        dense = lambda w, name: nn.Dense(w, kernel_init=_KAIMING,
+                                         dtype=self.dtype, name=name)
         inputs = x
         for idx in range(self.netdepth):
             x = nn.relu(dense(self.netwidth, f"pts_{idx}")(x))
             if idx % self.skip_layer == 0 and idx > 0:
                 x = jnp.concatenate([x, inputs], axis=-1)
-        raw_density = dense(1, "density")(x)[..., 0]
+        raw_density = dense(1, "density")(x)[..., 0].astype(jnp.float32)
         return raw_density, x
 
     @nn.compact
@@ -88,7 +90,8 @@ class MipNeRF360MLP(nn.Module):
         if self.disable_rgb:
             return {"density": density, "rgb": jnp.zeros_like(means)}
 
-        dense = lambda w, name: nn.Dense(w, kernel_init=_KAIMING, name=name)
+        dense = lambda w, name: nn.Dense(w, kernel_init=_KAIMING,
+                                         dtype=self.dtype, name=name)
         bottleneck = dense(self.bottleneck_width, "bottleneck")(x)
 
         dir_enc = encoding.pos_enc(viewdirs, 0, self.deg_view)
@@ -104,7 +107,8 @@ class MipNeRF360MLP(nn.Module):
                 x = jnp.concatenate([x, inputs], axis=-1)
 
         rgb = nn.sigmoid(self.rgb_premultiplier * dense(
-            self.num_rgb_channels, "rgb")(x) + self.rgb_bias)
+            self.num_rgb_channels, "rgb")(x).astype(jnp.float32)
+            + self.rgb_bias)
         rgb = rgb * (1.0 + 2.0 * self.rgb_padding) - self.rgb_padding
         return {"density": density, "rgb": rgb}
 
@@ -128,6 +132,7 @@ class MipNeRF360(nn.Module):
     nerf_netwidth: int = 1024
     prop_netdepth: int = 4
     prop_netwidth: int = 256
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, rays: Dict[str, jnp.ndarray], train_frac,
@@ -138,9 +143,11 @@ class MipNeRF360(nn.Module):
         """
         mlps = [MipNeRF360MLP(netdepth=self.prop_netdepth,
                               netwidth=self.prop_netwidth, disable_rgb=True,
+                              dtype=self.compute_dtype,
                               name=f"prop_mlp_{i}")
                 for i in range(self.num_levels - 1)]
         mlps.append(MipNeRF360MLP(netwidth=self.nerf_netwidth,
+                                  dtype=self.compute_dtype,
                                   name="nerf_mlp"))
 
         bsz = rays["rays_o"].shape[0]

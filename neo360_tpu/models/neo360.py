@@ -54,6 +54,7 @@ class NeRFTPMLP(nn.Module):
     skip_layer: int = 2
     combine_layer: int = 3
     use_nocs: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, viewdirs_enc: jnp.ndarray,
@@ -61,7 +62,8 @@ class NeRFTPMLP(nn.Module):
                  num_views: int):
         """x: (NV*B, S, Dp); viewdirs_enc: (NV*B, Dv); world/local latents:
         (NV*B, S, .). Returns (raw_rgb, raw_density[, raw_nocs]) at (B, S, .)."""
-        dense = lambda w, name: nn.Dense(w, kernel_init=_XAVIER, name=name)
+        dense = lambda w, name: nn.Dense(w, kernel_init=_XAVIER,
+                                         dtype=self.dtype, name=name)
 
         x = jnp.concatenate([x, local_latent, world_latent], axis=-1)
         inputs = x
@@ -89,10 +91,11 @@ class NeRFTPMLP(nn.Module):
             if idx == 0:
                 h = combine_interleaved(h, num_views)
             h = nn.relu(h)
-        raw_rgb = dense(3, "rgb")(h)
+        raw_rgb = dense(3, "rgb")(h).astype(jnp.float32)
+        raw_density = raw_density.astype(jnp.float32)
 
         if self.use_nocs:
-            return raw_rgb, raw_density, out_extra
+            return raw_rgb, raw_density, out_extra.astype(jnp.float32)
         return raw_rgb, raw_density
 
 
@@ -111,17 +114,25 @@ class NeRFTP(nn.Module):
     density_bias: float = -1.0
     grid_size: Tuple[int, int, int] = (64, 64, 64)
     remat_encoder: bool = True
+    compute_dtype: Any = jnp.float32   # bf16 runs encoder+MLP matmuls on
+                                       # the MXU fast path; render math
+                                       # and params stay f32
 
     def setup(self):
         # nn.remat: the encoder's 64^3-grid activations are recomputed in the
         # backward pass instead of being stored in HBM (train arg is static).
         enc_cls = (nn.remat(GridEncoder, static_argnums=(5,))
                    if self.remat_encoder else GridEncoder)
-        self.encoder = enc_cls(grid_size=self.grid_size, name="encoder")
-        self.fg_coarse_mlp = NeRFTPMLP(name="fg_coarse_mlp")
-        self.fg_fine_mlp = NeRFTPMLP(name="fg_fine_mlp")
-        self.bg_coarse_mlp = NeRFTPMLP(name="bg_coarse_mlp")
-        self.bg_fine_mlp = NeRFTPMLP(name="bg_fine_mlp")
+        self.encoder = enc_cls(grid_size=self.grid_size,
+                               dtype=self.compute_dtype, name="encoder")
+        self.fg_coarse_mlp = NeRFTPMLP(dtype=self.compute_dtype,
+                                       name="fg_coarse_mlp")
+        self.fg_fine_mlp = NeRFTPMLP(dtype=self.compute_dtype,
+                                     name="fg_fine_mlp")
+        self.bg_coarse_mlp = NeRFTPMLP(dtype=self.compute_dtype,
+                                       name="bg_coarse_mlp")
+        self.bg_fine_mlp = NeRFTPMLP(dtype=self.compute_dtype,
+                                     name="bg_fine_mlp")
 
     def encode(self, src_imgs, src_poses, src_focal, src_c,
                train: bool = False):

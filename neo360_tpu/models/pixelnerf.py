@@ -22,7 +22,7 @@ encodes the source views ONCE (the reference re-encodes per 1024-ray chunk).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Any, Dict, Optional
 
 import flax.linen as nn
 import jax
@@ -46,6 +46,7 @@ class PixelNeRFMLP(nn.Module):
     skip_layer: int = 4
     combine_layer: int = 3
     latent_size: int = 512
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, viewdirs_enc: jnp.ndarray,
@@ -53,7 +54,8 @@ class PixelNeRFMLP(nn.Module):
         """x: (NV*B, S, Dp) pos-enc'd cam-frame samples; viewdirs_enc:
         (NV*B, Dv); latent: (NV*B, S, L). Returns (raw_rgb, raw_density) at
         (B, S, ...) after view fusion."""
-        dense = lambda w, name: nn.Dense(w, kernel_init=_XAVIER, name=name)
+        dense = lambda w, name: nn.Dense(w, kernel_init=_XAVIER,
+                                         dtype=self.dtype, name=name)
 
         x = jnp.concatenate([x, latent], axis=-1)
         inputs = x
@@ -78,7 +80,7 @@ class PixelNeRFMLP(nn.Module):
                 h = combine_interleaved(h, num_views)
             h = nn.relu(h)
         raw_rgb = dense(3, "rgb")(h)
-        return raw_rgb, raw_density
+        return raw_rgb.astype(jnp.float32), raw_density.astype(jnp.float32)
 
 
 class PixelNeRF(nn.Module):
@@ -91,11 +93,15 @@ class PixelNeRF(nn.Module):
     noise_std: float = 0.0
     lindisp: bool = False
     num_src_views: int = 3
+    compute_dtype: Any = jnp.float32
 
     def setup(self):
-        self.encoder = SpatialEncoder(name="encoder")
-        self.coarse_mlp = PixelNeRFMLP(name="coarse_mlp")
-        self.fine_mlp = PixelNeRFMLP(name="fine_mlp")
+        self.encoder = SpatialEncoder(dtype=self.compute_dtype,
+                                      name="encoder")
+        self.coarse_mlp = PixelNeRFMLP(dtype=self.compute_dtype,
+                                       name="coarse_mlp")
+        self.fine_mlp = PixelNeRFMLP(dtype=self.compute_dtype,
+                                     name="fine_mlp")
 
     def encode(self, src_imgs: jnp.ndarray, train: bool = False):
         """src_imgs (NV, H, W, 3) in [-1, 1] -> latent (NV, H/2, W/2, 512)."""

@@ -16,7 +16,7 @@ configs (256/128) which XLA pads to lane width. The batch axis is
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -34,6 +34,7 @@ class NeRFMLP(nn.Module):
     skip_layer: int = 4
     num_rgb_channels: int = 3
     num_density_channels: int = 1
+    dtype: Any = jnp.float32        # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, samples_enc: jnp.ndarray, viewdirs_enc: jnp.ndarray):
@@ -41,7 +42,8 @@ class NeRFMLP(nn.Module):
 
         Returns (raw_rgb (B, S, 3), raw_density (B, S, 1)).
         """
-        dense = lambda w, name: nn.Dense(w, kernel_init=_XAVIER, name=name)
+        dense = lambda w, name: nn.Dense(w, kernel_init=_XAVIER,
+                                         dtype=self.dtype, name=name)
 
         inputs = samples_enc
         x = samples_enc
@@ -61,7 +63,8 @@ class NeRFMLP(nn.Module):
             x = nn.relu(dense(self.netwidth_condition, f"views_{idx}")(x))
 
         raw_rgb = dense(self.num_rgb_channels, "rgb")(x)
-        return raw_rgb, raw_density
+        return (raw_rgb.astype(jnp.float32),
+                raw_density.astype(jnp.float32))
 
 
 def combine_interleaved(x: jnp.ndarray, num_views: int) -> jnp.ndarray:

@@ -36,23 +36,25 @@ from neo360_tpu.ops.interpolate import (grid_sample_2d, in_bounds_mask,
 class BasicBlock(nn.Module):
     features: int
     stride: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            name=name)
+            dtype=self.dtype, name=name)
+        conv = lambda f, s, name: nn.Conv(
+            f, (3, 3) if name != "downsample_conv" else (1, 1),
+            strides=(s, s),
+            padding=[(1, 1), (1, 1)] if name != "downsample_conv" else "VALID",
+            use_bias=False, dtype=self.dtype, name=name)
         residual = x
-        y = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
-                    padding=[(1, 1), (1, 1)], use_bias=False, name="conv1")(x)
+        y = conv(self.features, self.stride, "conv1")(x)
         y = nn.relu(norm("bn1")(y))
-        y = nn.Conv(self.features, (3, 3), strides=(1, 1),
-                    padding=[(1, 1), (1, 1)], use_bias=False, name="conv2")(y)
+        y = conv(self.features, 1, "conv2")(y)
         y = norm("bn2")(y)
         if self.stride != 1 or x.shape[-1] != self.features:
-            residual = nn.Conv(self.features, (1, 1),
-                               strides=(self.stride,) * 2, use_bias=False,
-                               name="downsample_conv")(x)
+            residual = conv(self.features, self.stride, "downsample_conv")(x)
             residual = norm("downsample_bn")(residual)
         return nn.relu(y + residual)
 
@@ -62,13 +64,14 @@ class ResNet34Features(nn.Module):
 
     stage_sizes: Sequence[int] = (3, 4, 6)     # layer1..layer3
     stage_features: Sequence[int] = (64, 128, 256)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, name="conv1")(x)
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn1")(x)
+                         epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         feats = [x]
 
@@ -78,7 +81,7 @@ class ResNet34Features(nn.Module):
                 zip(self.stage_sizes, self.stage_features)):
             for b in range(blocks):
                 stride = 2 if (b == 0 and stage > 0) else 1
-                x = BasicBlock(width, stride,
+                x = BasicBlock(width, stride, dtype=self.dtype,
                                name=f"layer{stage + 1}_{b}")(x, train)
             feats.append(x)
         return feats
@@ -88,12 +91,14 @@ class SpatialEncoder(nn.Module):
     """Pixel-aligned 512-ch latent at half input resolution."""
 
     latent_size: int = 512
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, images, train: bool = False):
         """images: (B, H, W, 3) normalized to [-1, 1] (reference
         util.py:get_image_to_tensor_balanced). Returns (B, H/2, W/2, 512)."""
-        feats = ResNet34Features(name="backbone")(images, train)
+        feats = ResNet34Features(dtype=self.dtype, name="backbone")(
+            images.astype(self.dtype), train)
         target_hw = feats[0].shape[1:3]
         up = [resize_bilinear_align_corners(f, target_hw) for f in feats]
         return jnp.concatenate(up, axis=-1)

@@ -25,7 +25,7 @@ grid activations out of the backward residue.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -48,11 +48,13 @@ class DepthPillarEncoder(nn.Module):
     """[feat, cam-xyz, dir] -> latent (reference :263-279)."""
 
     features: int = 512
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         dense = lambda w, name: nn.Dense(
-            w, kernel_init=_KAIMING_N, bias_init=_bias_init, name=name)
+            w, kernel_init=_KAIMING_N, bias_init=_bias_init,
+            dtype=self.dtype, name=name)
         x = nn.relu(dense(self.features, "fc0")(x))
         x = nn.relu(dense(self.features, "fc1")(x))
         return dense(self.features, "depth")(x)
@@ -62,11 +64,13 @@ class PillarAggregator(nn.Module):
     """MLP(latent ++ orthogonal-world-coord) -> scalar logit (:364-373)."""
 
     features: int = 512
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         dense = lambda w, name: nn.Dense(
-            w, kernel_init=_KAIMING_N, bias_init=_bias_init, name=name)
+            w, kernel_init=_KAIMING_N, bias_init=_bias_init,
+            dtype=self.dtype, name=name)
         return dense(1, "out")(nn.relu(dense(self.features, "hidden")(x)))
 
 
@@ -74,15 +78,17 @@ class FloorplanConvNet(nn.Module):
     """512-ch floorplan -> 128-ch plane at plane_hw (:375-397)."""
 
     plane_hw: Tuple[int, int] = (120, 160)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         conv = lambda c, s, name: nn.Conv(
             c, (3, 3), strides=(s, s), padding=[(1, 1), (1, 1)],
-            kernel_init=_KAIMING_N, bias_init=_bias_init, name=name)
+            kernel_init=_KAIMING_N, bias_init=_bias_init,
+            dtype=self.dtype, name=name)
         norm = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            name=name)
+            dtype=self.dtype, name=name)
         x = nn.relu(norm("bn0")(conv(256, 2, "conv0")(x)))
         x = nn.relu(norm("bn1")(conv(128, 2, "conv1")(x)))
         x = nn.relu(norm("bn2")(conv(128, 1, "conv2")(x)))
@@ -100,16 +106,25 @@ class GridEncoder(nn.Module):
     side_lengths: Sequence[float] = (1.0, 1.0, 1.0)
     plane_hw: Tuple[int, int] = (120, 160)
     latent_size: int = 512
+    dtype: Any = jnp.float32
 
     def setup(self):
-        self.spatial_encoder = SpatialEncoder(name="spatial_encoder")
-        self.depth_fc = DepthPillarEncoder(self.latent_size, name="depth_fc")
-        self.pillar_yz = PillarAggregator(self.latent_size, name="pillar_yz")
-        self.pillar_xz = PillarAggregator(self.latent_size, name="pillar_xz")
-        self.pillar_xy = PillarAggregator(self.latent_size, name="pillar_xy")
-        self.floorplan_yz = FloorplanConvNet(self.plane_hw, name="floorplan_yz")
-        self.floorplan_xz = FloorplanConvNet(self.plane_hw, name="floorplan_xz")
-        self.floorplan_xy = FloorplanConvNet(self.plane_hw, name="floorplan_xy")
+        self.spatial_encoder = SpatialEncoder(dtype=self.dtype,
+                                              name="spatial_encoder")
+        self.depth_fc = DepthPillarEncoder(self.latent_size, self.dtype,
+                                           name="depth_fc")
+        self.pillar_yz = PillarAggregator(self.latent_size, self.dtype,
+                                          name="pillar_yz")
+        self.pillar_xz = PillarAggregator(self.latent_size, self.dtype,
+                                          name="pillar_xz")
+        self.pillar_xy = PillarAggregator(self.latent_size, self.dtype,
+                                          name="pillar_xy")
+        self.floorplan_yz = FloorplanConvNet(self.plane_hw, self.dtype,
+                                             name="floorplan_yz")
+        self.floorplan_xz = FloorplanConvNet(self.plane_hw, self.dtype,
+                                             name="floorplan_xz")
+        self.floorplan_xy = FloorplanConvNet(self.plane_hw, self.dtype,
+                                             name="floorplan_xy")
 
     def __call__(self, images: jnp.ndarray, poses: jnp.ndarray,
                  focal: jnp.ndarray, c: jnp.ndarray, train: bool = False):
@@ -151,20 +166,24 @@ class GridEncoder(nn.Module):
         world_z = jnp.broadcast_to(wg[..., 2:3], latent.shape[:-1] + (1,))
 
         w_yz = nn.softmax(self.pillar_yz(
-            jnp.concatenate([latent, world_x], -1)), axis=1)
+            jnp.concatenate([latent, world_x.astype(latent.dtype)], -1)
+        ).astype(jnp.float32), axis=1).astype(latent.dtype)
         w_xz = nn.softmax(self.pillar_xz(
-            jnp.concatenate([latent, world_y], -1)), axis=2)
+            jnp.concatenate([latent, world_y.astype(latent.dtype)], -1)
+        ).astype(jnp.float32), axis=2).astype(latent.dtype)
         w_xy = nn.softmax(self.pillar_xy(
-            jnp.concatenate([latent, world_z], -1)), axis=3)
+            jnp.concatenate([latent, world_z.astype(latent.dtype)], -1)
+        ).astype(jnp.float32), axis=3).astype(latent.dtype)
 
         floor_yz = jnp.sum(latent * w_yz, axis=1)   # (NV, Y, Z, 512)
         floor_xz = jnp.sum(latent * w_xz, axis=2)   # (NV, X, Z, 512)
         floor_xy = jnp.sum(latent * w_xy, axis=3)   # (NV, X, Y, 512)
 
-        plane_yz = self.floorplan_yz(floor_yz, train)
-        plane_xz = self.floorplan_xz(floor_xz, train)
-        plane_xy = self.floorplan_xy(floor_xy, train)
-        return (plane_xz, plane_xy, plane_yz), pixel_latent
+        plane_yz = self.floorplan_yz(floor_yz, train).astype(jnp.float32)
+        plane_xz = self.floorplan_xz(floor_xz, train).astype(jnp.float32)
+        plane_xy = self.floorplan_xy(floor_xy, train).astype(jnp.float32)
+        return ((plane_xz, plane_xy, plane_yz),
+                pixel_latent.astype(jnp.float32))
 
 
 def index_grid(samples: jnp.ndarray, planes, poses: jnp.ndarray,

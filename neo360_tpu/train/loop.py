@@ -105,6 +105,38 @@ def make_buffer_trainer(train_step: Callable, batch_size: int,
     return run
 
 
+def make_staged_trainer(train_step: Callable):
+    """Wrap a train_step into a jitted multi-step driver over K staged
+    batches: one dispatch runs a lax.scan over the stacked batch dict
+    (K, ...). Amortizes host->device transfer and dispatch latency over K
+    optimizer steps — the production pattern for host-sampled pipelines
+    (the per-step analogue of make_buffer_trainer's on-device sampling).
+
+    Returns run(state, batches, key) -> (state, metrics_of_last_step) where
+    `batches` is a dict of (K, ...) arrays.
+    """
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run(state: TrainState, batches, key):
+        def body(carry, batch):
+            state, key = carry
+            key, k = jax.random.split(key)
+            state, metrics = train_step(state, batch, k)
+            return (state, key), metrics
+
+        (state, _), metrics = jax.lax.scan(body, (state, key), batches)
+        last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+        return state, last
+
+    return run
+
+
+def stack_batches(samples, keys=None):
+    """Stack a list of sample dicts into one dict of (K, ...) arrays."""
+    import numpy as np
+    keys = keys or list(samples[0].keys())
+    return {k: np.stack([np.asarray(s[k]) for s in samples]) for k in keys}
+
+
 def make_image_renderer(render_chunk_fn: Callable, chunk: int = 4096,
                         mesh=None):
     """render_chunk_fn(params, rays_chunk) -> dict of (chunk, ...) outputs.
