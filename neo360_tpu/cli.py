@@ -394,7 +394,8 @@ def run_train(cfg: Config):
     variables = _maybe_load_resnet(cfg, variables)
     loss_fn = make_loss_fn(cfg, model, variables, lpips_model)
     step_fn = tl.make_train_step(loss_fn, optimizer, with_model_state=True)
-    stage_size = max(1, min(cfg.steps_per_call, cfg.save_every_steps))
+    stage_size = max(1, min(cfg.steps_per_call, cfg.save_every_steps,
+                            cfg.run_max_steps))
     staged = tl.make_staged_trainer(step_fn)
     state = tl.create_train_state(variables["params"], optimizer,
                                   variables["batch_stats"])
@@ -412,6 +413,7 @@ def run_train(cfg: Config):
     step = start_step
     for i, batches in enumerate(it):
         if step >= cfg.run_max_steps:
+            it.close()
             break
         state, m = staged(state, batches, jax.random.fold_in(key, i))
         step += stage_size

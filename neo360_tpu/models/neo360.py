@@ -118,6 +118,8 @@ class NeRFTP(nn.Module):
                                        # the MXU fast path; render math
                                        # and params stay f32
 
+    local_proj_dim: int = 128
+
     def setup(self):
         # nn.remat: the encoder's 64^3-grid activations are recomputed in the
         # backward pass instead of being stored in HBM (train arg is static).
@@ -133,11 +135,28 @@ class NeRFTP(nn.Module):
                                        name="bg_coarse_mlp")
         self.bg_fine_mlp = NeRFTPMLP(dtype=self.compute_dtype,
                                      name="bg_fine_mlp")
+        # project-then-gather: bilinear interpolation commutes with channel
+        # projection, so each MLP's first-layer local block (512 -> 128) is
+        # factored out and applied to the pixel-latent MAP once per encode.
+        # The per-sample gather then moves 128 channels instead of 512 — a 4x
+        # cut of what profiling showed to be a dominant cost. The factored
+        # parameterization spans exactly the same function class (a 128x512
+        # block has rank <= 128 either way); border padding keeps corner
+        # weights summing to 1 so the factoring is exact.
+        self.local_projs = {
+            name: nn.Dense(self.local_proj_dim, use_bias=False,
+                           dtype=self.compute_dtype,
+                           name=f"local_proj_{name}")
+            for name in ("fg_c", "fg_f", "bg_c", "bg_f")}
 
     def encode(self, src_imgs, src_poses, src_focal, src_c,
                train: bool = False):
-        """-> (planes, pixel_latent)."""
-        return self.encoder(src_imgs, src_poses, src_focal, src_c, train)
+        """-> (planes, {branch: projected local-latent map})."""
+        planes, pixel_latent = self.encoder(
+            src_imgs, src_poses, src_focal, src_c, train)
+        locals_ = {name: proj(pixel_latent).astype(jnp.float32)
+                   for name, proj in self.local_projs.items()}
+        return planes, locals_
 
     def _local_feats(self, samples, poses, focal, c, pixel_latent,
                      image_size):
@@ -163,7 +182,7 @@ class NeRFTP(nn.Module):
         if encoded is None:
             encoded = self.encode(rays["src_imgs"], rays["src_poses"],
                                   rays["src_focal"], rays["src_c"], train)
-        planes, pixel_latent = encoded
+        planes, local_maps = encoded
         nv = self.num_src_views
         h_img, w_img = rays["src_imgs"].shape[1:3]
         image_size = (w_img, h_img)
@@ -219,12 +238,14 @@ class NeRFTP(nn.Module):
 
             world_fg = index_grid(fg_samples, planes, poses, nv)
             world_bg = index_grid(bg_linear, planes, poses, nv)
+            fg_map = local_maps["fg_c" if i_level == 0 else "fg_f"]
+            bg_map = local_maps["bg_c" if i_level == 0 else "bg_f"]
             local_fg, fg_cam = self._local_feats(
                 fg_samples, poses, rays["src_focal"], rays["src_c"],
-                pixel_latent, image_size)
+                fg_map, image_size)
             local_bg, _ = self._local_feats(
                 bg_linear[..., :3], poses, rays["src_focal"], rays["src_c"],
-                pixel_latent, image_size)
+                bg_map, image_size)
 
             bg_cam = geometry.world2camera(
                 bg_samples[..., :3].reshape(1, -1, 3), poses, ns=nv)

@@ -56,7 +56,12 @@ def grid_sample_2d(image: jnp.ndarray, uv: jnp.ndarray,
     w10 = (x1 - ix) * (iy - y0)   # bottom-left
     w11 = (ix - x0) * (iy - y0)   # bottom-right
 
-    flat = image.reshape(b, h * w, c)
+    # single flattened axis-0 row gather: one global index per (image, point,
+    # corner); measurably faster on TPU than take_along_axis, whose index
+    # broadcast to (B, N, C) costs as much traffic as the payload.
+    flat = image.reshape(b * h * w, c)
+    base = (jnp.arange(b, dtype=jnp.int32) * (h * w))[:, None]
+    n = uv.shape[1]
 
     def fetch(xi, yi, wgt):
         if padding_mode == "zeros":
@@ -64,8 +69,10 @@ def grid_sample_2d(image: jnp.ndarray, uv: jnp.ndarray,
             wgt = jnp.where(valid, wgt, 0.0)
         xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
         yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-        idx = (yc * w + xc)[..., None]                       # (B, N, 1)
-        vals = jnp.take_along_axis(flat, idx, axis=1)        # (B, N, C)
+        idx = base + yc * w + xc                             # (B, N)
+        vals = jnp.take(flat, idx.reshape(-1), axis=0,
+                        unique_indices=False,
+                        indices_are_sorted=False).reshape(b, n, c)
         return vals * wgt[..., None]
 
     out = (fetch(x0, y0, w00) + fetch(x1, y0, w01)

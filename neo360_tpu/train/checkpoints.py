@@ -24,6 +24,10 @@ class CheckpointManager:
                      (lambda metrics: float(metrics.get(monitor, -1e30)))),
             best_mode="max",
             create=True,
+            # synchronous saves: orbax's async writer thread can busy-spin
+            # and starve single-CPU hosts (observed: a save wedging at 97%
+            # CPU for an hour); checkpoints here are small and infrequent.
+            enable_async_checkpointing=False,
         )
         self._mgr = ocp.CheckpointManager(
             os.path.abspath(directory), options=options)

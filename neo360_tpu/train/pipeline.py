@@ -6,19 +6,24 @@ sampler (the heavy lifting was removed at the source: NeRDS360AE only
 generates the ~500 rays it actually uses), plus a background prefetch thread
 that keeps `size` batches in flight so device steps never wait on PNG
 decoding or ray math.
+
+The prefetcher shuts down cleanly: consumers that stop early MUST call
+`.close()` (or exhaust it) — a producer thread left blocked on a full queue
+keeps issuing `jax.device_put` races against the main thread's work; we
+observed it wedging a subsequent `jax.device_get` indefinitely.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
-from typing import Callable, Dict, Iterator
+from typing import Iterator
 
 import jax
 import numpy as np
 
 
-def train_iterator(dataset, seed: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+def train_iterator(dataset, seed: int = 0) -> Iterator:
     """Infinite iterator of training samples from a NeRDS360AE-style
     dataset (anything with .sample_train(rng))."""
     rng = np.random.default_rng(seed)
@@ -26,24 +31,63 @@ def train_iterator(dataset, seed: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         yield dataset.sample_train(rng)
 
 
-def prefetch_to_device(iterator: Iterator, size: int = 2) -> Iterator:
-    """Run `iterator` in a daemon thread, jax.device_put each item, keep
-    `size` items buffered."""
-    q: "queue.Queue" = queue.Queue(maxsize=size)
-    sentinel = object()
+class _Prefetcher:
+    _SENTINEL = object()
 
-    def producer():
+    def __init__(self, iterator: Iterator, size: int):
+        self._q: "queue.Queue" = queue.Queue(maxsize=size)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._produce, args=(iterator,), daemon=True)
+        self._thread.start()
+
+    def _produce(self, iterator):
         try:
             for item in iterator:
-                q.put(jax.device_put(item))
+                item = jax.device_put(item)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stop.is_set():
+                    return
         finally:
-            q.put(sentinel)
+            try:
+                self._q.put_nowait(self._SENTINEL)
+            except queue.Full:
+                pass
 
-    thread = threading.Thread(target=producer, daemon=True)
-    thread.start()
+    def __iter__(self):
+        return self
 
-    while True:
-        item = q.get()
-        if item is sentinel:
-            return
-        yield item
+    def __next__(self):
+        if self._stop.is_set():
+            raise StopIteration
+        item = self._q.get()
+        if item is self._SENTINEL:
+            raise StopIteration
+        return item
+
+    def close(self):
+        """Stop the producer thread and release its queue slot."""
+        self._stop.set()
+        while True:
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
+        self._thread.join(timeout=5.0)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def prefetch_to_device(iterator: Iterator, size: int = 2) -> _Prefetcher:
+    """Run `iterator` in a daemon thread, jax.device_put each item, keep
+    `size` items buffered. Call .close() if you stop consuming early."""
+    return _Prefetcher(iterator, size)
