@@ -39,14 +39,24 @@ def main():
 
     import os
     bf16 = os.environ.get("NEO360_BENCH_BF16", "1") != "0"
-    # reference defaults: 128 coarse / 256 fine, 64^3 grid; bf16 compute is
-    # the production configuration (quality-validated on the fixture drive)
-    model = NeRFTP(compute_dtype=jnp.bfloat16 if bf16 else jnp.float32)
+    # NEO360_BENCH_MODE=reference: the reference's exact sampling budget
+    # (conditioned 128 coarse + merged 256 fine, fg+bg).
+    # =proposal: the neo360_fast preset (unconditioned 64-sample PropMLP
+    # level + 64 conditioned fine samples) — quality-validated against
+    # reference-mode at equal wall clock on the fixture drive (BASELINE.md).
+    mode = os.environ.get("NEO360_BENCH_MODE", "reference")
+    remat = os.environ.get("NEO360_BENCH_REMAT", "1") != "0"
+    model = NeRFTP(compute_dtype=jnp.bfloat16 if bf16 else jnp.float32,
+                   use_proposal=(mode == "proposal"),
+                   num_prop_samples=64, remat_encoder=remat,
+                   num_fine_samples=64 if mode == "proposal" else 256)
     rays = {k: batch[k] for k in ray_keys}
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
         rays, True, False, train=False)
     opt = optax.chain(optax.clip_by_global_norm(0.05), optax.adam(5e-4))
+
+    from neo360_tpu.models.neo360 import neo360_interlevel_loss
 
     def loss_fn(params, model_state, batch, key):
         rays = {k: batch[k] for k in ray_keys}
@@ -54,10 +64,14 @@ def main():
             {"params": params, "batch_stats": model_state},
             rays, True, False, train=True, rngs={"sampling": key},
             mutable=["batch_stats"])
-        l0 = L.img2mse(out[0]["rgb"], batch["target"])
         l1 = L.img2mse(out[1]["rgb"], batch["target"])
-        return (l0 + l1 + neo360_distortion_loss(out),
-                ({"mse": l1}, new_state["batch_stats"]))
+        if mode == "proposal":
+            loss = l1 + neo360_interlevel_loss(out) \
+                + neo360_distortion_loss(out)
+        else:
+            loss = (L.img2mse(out[0]["rgb"], batch["target"]) + l1
+                    + neo360_distortion_loss(out))
+        return loss, ({"mse": l1}, new_state["batch_stats"])
 
     step = tl.make_train_step(loss_fn, opt, with_model_state=True)
     staged = tl.make_staged_trainer(step)

@@ -88,6 +88,11 @@ def build_model(cfg: Config):
     if cfg.exp_type == "neo360":
         from neo360_tpu.models.neo360 import NeRFTP
         return NeRFTP(num_src_views=cfg.num_src_views, compute_dtype=dtype)
+    if cfg.exp_type == "neo360_fast":
+        from neo360_tpu.models.neo360 import NeRFTP
+        return NeRFTP(num_src_views=cfg.num_src_views, compute_dtype=dtype,
+                      use_proposal=True, num_prop_samples=64,
+                      num_fine_samples=64)
     raise ValueError(cfg.exp_type)
 
 
@@ -179,9 +184,11 @@ def make_loss_fn(cfg: Config, model, variables, lpips_model=None):
                              new_state.get("batch_stats", model_state))
         return loss_fn
 
-    if cfg.exp_type == "neo360":
-        from neo360_tpu.models.neo360 import neo360_distortion_loss
+    if cfg.exp_type in ("neo360", "neo360_fast"):
+        from neo360_tpu.models.neo360 import (neo360_distortion_loss,
+                                              neo360_interlevel_loss)
         train_bn = not (cfg.is_optimize or cfg.finetune_lpips)
+        proposal = cfg.exp_type == "neo360_fast"
 
         def loss_fn(params, model_state, batch, key):
             rays = {k: batch[k] for k in RAY_KEYS_FEWSHOT}
@@ -189,9 +196,14 @@ def make_loss_fn(cfg: Config, model, variables, lpips_model=None):
                 {"params": params, "batch_stats": model_state},
                 rays, True, cfg.white_back, train=train_bn,
                 rngs={"sampling": key}, mutable=["batch_stats"])
-            l0 = L.img2mse(out[0]["rgb"], batch["target"])
             l1 = L.img2mse(out[1]["rgb"], batch["target"])
-            loss = l0 + l1 + neo360_distortion_loss(out)
+            if proposal:
+                # prop level renders no rgb: MSE on fine + histogram bound
+                loss = l1 + neo360_interlevel_loss(out) \
+                    + neo360_distortion_loss(out)
+            else:
+                l0 = L.img2mse(out[0]["rgb"], batch["target"])
+                loss = l0 + l1 + neo360_distortion_loss(out)
             if cfg.finetune_lpips and lpips_model is not None \
                     and lpips_model.pretrained:
                 side = int(np.sqrt(batch["target"].shape[0]))
@@ -262,7 +274,7 @@ def make_render_fn(cfg: Config, model, variables):
             return renderer(dict(variables), rays)
         return render_fn
 
-    if cfg.exp_type == "neo360":
+    if cfg.exp_type in ("neo360", "neo360_fast"):
         from neo360_tpu.models.neo360 import NeRFTP
 
         def render_fn(sample):

@@ -12,8 +12,10 @@ import dataclasses
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
-EXP_TYPES = ("vanilla", "mipnerf360", "pixelnerf", "neo360")
-# reference name for neo360: "triplanar_nocs_fusion_conv_scene" (run.py:41)
+EXP_TYPES = ("vanilla", "mipnerf360", "pixelnerf", "neo360", "neo360_fast")
+# reference name for neo360: "triplanar_nocs_fusion_conv_scene" (run.py:41).
+# neo360_fast: same conditioning stack, proposal-culled sampling (no
+# reference analogue — TPU-first fast path, models/neo360.py use_proposal).
 EXP_ALIASES = {"triplanar_nocs_fusion_conv_scene": "neo360"}
 
 
@@ -81,6 +83,10 @@ def preset(exp_type: str, **overrides) -> Config:
     elif exp_type == "neo360":
         cfg = Config(exp_type="neo360", dataset_name="nerds360_ae",
                      lr_init=5e-4, lr_final=5e-6, grad_max_norm=0.05)
+    elif exp_type == "neo360_fast":
+        cfg = Config(exp_type="neo360_fast", dataset_name="nerds360_ae",
+                     lr_init=5e-4, lr_final=5e-6, grad_max_norm=0.05,
+                     bf16=True)
     else:
         raise ValueError(f"unknown exp_type {exp_type!r}; "
                          f"expected one of {EXP_TYPES}")

@@ -205,12 +205,24 @@ def sample_pdf_nerfpp(
     far=None,
     far_uncontracted: float = 3.0,
     key: Optional[jax.Array] = None,
+    merge: bool = True,
 ):
-    """Fine-level NeRF++ resampling (reference neo360/helper.py:218-249)."""
+    """Fine-level NeRF++ resampling (reference neo360/helper.py:218-249).
+
+    merge=False skips the union with the coarse edges (MipNeRF-360-style
+    proposal resampling: the fine level evaluates ONLY the resampled points;
+    used by the `use_proposal` fast path of models/neo360.py). num_samples+1
+    points are drawn so the point-at-edges convention (S samples -> S+1
+    points) matches the merge=True path."""
     t_samples = sorted_piecewise_constant_pdf(
-        bins, weights, num_samples, randomized, key)
+        bins, weights, num_samples if merge else num_samples + 1,
+        randomized, key)
     t_samples = jax.lax.stop_gradient(t_samples)
-    t_vals = jnp.sort(jnp.concatenate([t_vals, t_samples], axis=-1), axis=-1)
+    if merge:
+        t_vals = jnp.sort(jnp.concatenate([t_vals, t_samples], axis=-1),
+                          axis=-1)
+    else:
+        t_vals = jnp.sort(t_samples, axis=-1)
 
     if in_sphere:
         return t_vals, cast_rays(t_vals, origins, directions)

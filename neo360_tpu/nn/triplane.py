@@ -31,9 +31,10 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from neo360_tpu.core import geometry
-from neo360_tpu.nn.resnet import SpatialEncoder, index_latent
-from neo360_tpu.ops.interpolate import (grid_sample_2d,
-                                        resize_bilinear_align_corners)
+from neo360_tpu.nn.resnet import SpatialEncoder, index_latent, latent_scaling
+from neo360_tpu.ops.interpolate import (build_corner_table, grid_sample_2d,
+                                        resize_bilinear_align_corners,
+                                        table_sample)
 
 _KAIMING_N = nn.initializers.kaiming_normal()
 
@@ -153,8 +154,15 @@ class GridEncoder(nn.Module):
 
         focal2 = jnp.stack([focal[0], -focal[0]])[None]   # (1, 2), -fy
         uv = geometry.projection(camera_grids, focal2, c[:1], nv)
-        latent, _ = index_latent(pixel_latent, uv, (w, h),
-                                 padding_mode="zeros")    # (NV, G, 512)
+        # grid lift = 786k-point gather of 512-ch rows: go through a corner
+        # table (1 row-gather/point instead of index_latent's 4; same
+        # semantics — resnet.py:115-129 with zeros padding)
+        lat_hw = pixel_latent.shape[1:3]
+        scale = latent_scaling(lat_hw) / jnp.asarray((w, h), jnp.float32)
+        uv_norm = uv * scale - 1.0
+        latent = table_sample(
+            build_corner_table(pixel_latent, "zeros"), uv_norm, lat_hw,
+            padding_mode="zeros", out_dtype=pixel_latent.dtype)  # (NV,G,512)
 
         latent = jnp.concatenate([latent, camera_grids, cam_dir], axis=-1)
         latent = self.depth_fc(latent)                    # (NV, G, 512)
@@ -208,4 +216,26 @@ def index_grid(samples: jnp.ndarray, planes, poses: jnp.ndarray,
     lat = (grid_sample_2d(plane_xz, uv_xz, padding_mode="zeros")
            + grid_sample_2d(plane_xy, uv_xy, padding_mode="zeros")
            + grid_sample_2d(plane_yz, uv_yz, padding_mode="zeros"))
+    return lat
+
+
+def index_grid_tables(samples: jnp.ndarray, tables, plane_hw,
+                      poses: jnp.ndarray, num_src_views: int) -> jnp.ndarray:
+    """`index_grid` over prebuilt corner tables (ops.interpolate
+    .build_corner_table of each plane, zeros mode) — one row-gather per
+    (point, view, plane) instead of four; numerically identical
+    (tests/test_neo360.py::test_index_grid_tables_matches)."""
+    from neo360_tpu.ops.interpolate import table_sample
+
+    t_xz, t_xy, t_yz = tables
+    flat = samples.reshape(1, -1, 3)
+    cam = geometry.world2camera(flat, poses, ns=num_src_views)  # (NV, N, 3)
+
+    uv_xz = cam[..., jnp.asarray([0, 2])]
+    uv_yz = cam[..., jnp.asarray([1, 2])]
+    uv_xy = cam[..., jnp.asarray([0, 1])]
+
+    lat = (table_sample(t_xz, uv_xz, plane_hw, padding_mode="zeros")
+           + table_sample(t_xy, uv_xy, plane_hw, padding_mode="zeros")
+           + table_sample(t_yz, uv_yz, plane_hw, padding_mode="zeros"))
     return lat

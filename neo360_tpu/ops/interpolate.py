@@ -80,6 +80,92 @@ def grid_sample_2d(image: jnp.ndarray, uv: jnp.ndarray,
     return out
 
 
+def build_corner_table(image: jnp.ndarray, padding_mode: str = "zeros",
+                       dtype=None) -> jnp.ndarray:
+    """(B,H,W,C) -> (B,H+1,W+1,4C) table of 2x2 corner neighborhoods.
+
+    T[b, y0+1, x0+1] = concat(P[y0,x0], P[y0,x1], P[y1,x0], P[y1,x1]) over a
+    one-pixel pad (zeros or edge per `padding_mode`), so `table_sample` needs
+    ONE row-gather per point instead of grid_sample_2d's four. Profiled on
+    v5e (scripts/bench_gather.py): exact vs grid_sample_2d; fwd+bwd 41->22 ms
+    at the NeO-360 fine-level shape (the backward scatter-add issues 4x fewer
+    descriptors and the corner fold is dense). Build cost is 4 dense shifted
+    copies — amortized per encode, negligible per step.
+    """
+    b, h, w, c = image.shape
+    if padding_mode == "zeros":
+        pad = jnp.pad(image, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    elif padding_mode == "border":
+        pad = jnp.pad(image, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    else:
+        raise ValueError(f"padding_mode {padding_mode!r} not supported")
+    table = jnp.concatenate([
+        pad[:, 0:h + 1, 0:w + 1],      # corner (y0, x0)
+        pad[:, 0:h + 1, 1:w + 2],      # corner (y0, x1)
+        pad[:, 1:h + 2, 0:w + 1],      # corner (y1, x0)
+        pad[:, 1:h + 2, 1:w + 2],      # corner (y1, x1)
+    ], axis=-1)
+    if dtype is not None:
+        table = table.astype(dtype)
+    return table
+
+
+def table_sample(table: jnp.ndarray, uv: jnp.ndarray, hw: tuple,
+                 padding_mode: str = "zeros",
+                 out_dtype=jnp.float32) -> jnp.ndarray:
+    """Bilinear sample via one row-gather from a `build_corner_table` table.
+
+    Semantically identical to grid_sample_2d(image, uv, padding_mode) where
+    `table = build_corner_table(image, padding_mode)` and hw = image (H, W);
+    golden-tested in tests/test_interpolate.py. The table may be bf16 (faster
+    rows on v5e); lerp weights are computed in f32 and the output is cast to
+    `out_dtype`.
+    """
+    b = table.shape[0]
+    c4 = table.shape[-1]
+    c = c4 // 4
+    h, w = hw
+    ix = (uv[..., 0] + 1.0) * 0.5 * (w - 1)
+    iy = (uv[..., 1] + 1.0) * 0.5 * (h - 1)
+    if padding_mode == "border":
+        ix = jnp.clip(ix, 0.0, w - 1.0)
+        iy = jnp.clip(iy, 0.0, h - 1.0)
+    elif padding_mode != "zeros":
+        raise ValueError(f"padding_mode {padding_mode!r} not supported")
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    fx = ix - x0
+    fy = iy - y0
+    w00 = (1 - fx) * (1 - fy)
+    w01 = fx * (1 - fy)
+    w10 = (1 - fx) * fy
+    w11 = fx * fy
+    if padding_mode == "zeros":
+        # points beyond the one-pixel pad would fetch a clamped (live) row:
+        # zero all four weights there. Inside the pad the table's zero pad
+        # already realizes zeros-mode per corner.
+        inside = ((x0 >= -1) & (x0 <= w - 1) & (y0 >= -1) & (y0 <= h - 1))
+        w00 = jnp.where(inside, w00, 0.0)
+        w01 = jnp.where(inside, w01, 0.0)
+        w10 = jnp.where(inside, w10, 0.0)
+        w11 = jnp.where(inside, w11, 0.0)
+    xb = jnp.clip(x0.astype(jnp.int32) + 1, 0, w)
+    yb = jnp.clip(y0.astype(jnp.int32) + 1, 0, h)
+
+    hp, wp = h + 1, w + 1
+    flat = table.reshape(b * hp * wp, c4)
+    base = (jnp.arange(b, dtype=jnp.int32) * (hp * wp))[:, None]
+    idx = base + yb * wp + xb
+    n = uv.shape[1]
+    rows = jnp.take(flat, idx.reshape(-1), axis=0).reshape(b, n, c4)
+    rows = rows.astype(out_dtype)
+    out = (rows[..., :c] * w00[..., None].astype(out_dtype)
+           + rows[..., c:2 * c] * w01[..., None].astype(out_dtype)
+           + rows[..., 2 * c:3 * c] * w10[..., None].astype(out_dtype)
+           + rows[..., 3 * c:] * w11[..., None].astype(out_dtype))
+    return out
+
+
 def in_bounds_mask(uv: jnp.ndarray) -> jnp.ndarray:
     """|uv| <= 1 per coordinate, shape (B, N, 2) bool (parity with
     encoder_pn.py:122)."""

@@ -1,0 +1,146 @@
+"""Verify drive: NeO-360 few-shot training + render on the real TPU.
+
+Builds fixture scenes, trains the generalizable model briefly (staged
+trainer), renders a held-out view from 3 source views, reports PSNR and
+rays/s, saves GT|pred side-by-side. Healthy: loss falls steadily, render is
+a recognizable blob scene (not gray fog), PSNR rises well above the ~11-13
+gray-fog floor within a few hundred steps.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/drive_neo360.py
+"""
+
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from neo360_tpu.data.fixtures import make_multi_scene_root
+from neo360_tpu.data.nerds360_ae import NeRDS360AE
+from neo360_tpu.models.neo360 import NeRFTP, neo360_distortion_loss
+from neo360_tpu.ops import losses as L
+from neo360_tpu.train import loop as tl
+from neo360_tpu.train.metrics import psnr as psnr_fn
+from neo360_tpu.utils.io import to8b
+
+RAY_KEYS = ("rays_o", "rays_d", "viewdirs", "src_imgs", "src_poses",
+            "src_focal", "src_c")
+
+
+def main():
+    print("devices:", jax.devices())
+    root = make_multi_scene_root(tempfile.mkdtemp(prefix="neo360_drive_"),
+                                 n_scenes=2, wh=(64, 48))
+    n_rays = 512
+    ds = NeRDS360AE(root, split="train", img_wh=(64, 48),
+                    ray_batch_size=n_rays, dest_views_per_sample=8)
+
+    proposal = os.environ.get("NEO360_DRIVE_PROPOSAL", "0") == "1"
+    model = NeRFTP(num_coarse_samples=32, num_fine_samples=48,
+                   grid_size=(32, 32, 32), compute_dtype=jnp.bfloat16,
+                   use_proposal=proposal, num_prop_samples=32)
+    print("proposal mode:", proposal)
+
+    rng = np.random.default_rng(0)
+    s0 = {k: jnp.asarray(v) for k, v in ds.sample_train(rng).items()}
+    rays0 = {k: s0[k] for k in RAY_KEYS}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        rays0, True, False, train=False)
+    opt = optax.chain(optax.clip_by_global_norm(0.05), optax.adam(1e-3))
+    state = tl.create_train_state(variables["params"], opt,
+                                  variables["batch_stats"])
+
+    def loss_fn(params, model_state, batch, key):
+        rays = {k: batch[k] for k in RAY_KEYS}
+        out, new_state = model.apply(
+            {"params": params, "batch_stats": model_state},
+            rays, True, False, train=True, rngs={"sampling": key},
+            mutable=["batch_stats"])
+        l1 = L.img2mse(out[1]["rgb"], batch["target"])
+        if proposal:
+            from neo360_tpu.models.neo360 import neo360_interlevel_loss
+            loss = (l1 + neo360_interlevel_loss(out)
+                    + neo360_distortion_loss(out))
+        else:
+            l0 = L.img2mse(out[0]["rgb"], batch["target"])
+            loss = l0 + l1 + neo360_distortion_loss(out)
+        return loss, ({"mse": l1}, new_state["batch_stats"])
+
+    step = tl.make_train_step(loss_fn, opt, with_model_state=True)
+    staged = tl.make_staged_trainer(step)
+
+    k_steps = 16
+    n_dispatch = int(os.environ.get("NEO360_DRIVE_DISPATCHES", "30"))
+    key = jax.random.PRNGKey(7)
+    tot_t = 0.0
+    for d in range(n_dispatch):
+        batches = [ds.sample_train(rng) for _ in range(k_steps)]
+        stacked = {k: jnp.stack([jnp.asarray(b[k]) for b in batches])
+                   for k in batches[0]}
+        t0 = time.time()
+        state, m = staged(state, stacked, jax.random.fold_in(key, d))
+        mse = float(m["mse"])
+        dt = time.time() - t0
+        if d > 0:
+            tot_t += dt
+        print(f"dispatch {d:02d}  step {int(state.step):4d}  "
+              f"mse {mse:.4f}  psnr {-10*np.log10(mse):5.2f}  {dt:6.2f}s",
+              flush=True)
+
+    rays_s = (n_dispatch - 1) * k_steps * n_rays / tot_t
+    print(f"train throughput (post-compile): {rays_s:,.0f} rays/s")
+
+    # ---- render a held-out view (encode once, tile rays) ----
+    val = ds.sample_val(0, dest_offset=0)
+    src = {k: jnp.asarray(val[k]) for k in
+           ("src_imgs", "src_poses", "src_focal", "src_c")}
+    vars_now = {"params": state.params, "batch_stats": state.model_state}
+    encoded = model.apply(vars_now, src["src_imgs"], src["src_poses"],
+                          src["src_focal"], src["src_c"],
+                          method=NeRFTP.encode)
+
+    def render_chunk(params, rays):
+        rays = dict(rays, **src)
+        out = model.apply({"params": params,
+                           "batch_stats": state.model_state},
+                          rays, False, False, out_depth=True,
+                          encoded=encoded)
+        return {"rgb": out[1]["rgb"], "depth": out[1]["depth"]}
+
+    renderer = tl.make_image_renderer(render_chunk, 4096)
+    rays = {k: jnp.asarray(val[k]) for k in ("rays_o", "rays_d", "viewdirs")}
+    t0 = time.time()
+    out = renderer(state.params, rays)
+    rgb = np.asarray(out["rgb"], np.float32)
+    dt = time.time() - t0
+    w, h = val["img_wh"]
+    pred = np.clip(rgb.reshape(h, w, 3), 0, 1)
+    gt = np.asarray(val["target"], np.float32).reshape(h, w, 3)
+    val_psnr = float(psnr_fn(jnp.asarray(pred), jnp.asarray(gt)))
+    print(f"render {h}x{w}: {dt:.2f}s   val PSNR {val_psnr:.2f}")
+
+    side = np.concatenate([to8b(gt), to8b(pred)], axis=1)
+    try:
+        import cv2
+        name = ("/tmp/neo360_drive_prop.png" if proposal
+                else "/tmp/neo360_drive.png")
+        cv2.imwrite(name, side[..., ::-1])
+        print("saved", name)
+    except Exception as e:  # pragma: no cover
+        print("imwrite failed:", e)
+
+    ok = val_psnr > 16.0
+    print("VERDICT:", "PASS" if ok else "FAIL (psnr too low — gray fog?)")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -64,3 +64,41 @@ def test_resize_matches_torch_interpolate(shape):
                         (h_out, w_out), mode="bilinear", align_corners=True)
     ref = ref.permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("padding", ["zeros", "border"])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_table_sample_matches_grid_sample(padding, seed):
+    from neo360_tpu.ops.interpolate import build_corner_table, table_sample
+    img, uv = _random_case(seed, h=9, w=6, c=8, n=128)
+    h, w = img.shape[1:3]
+    ref = np.asarray(grid_sample_2d(jnp.asarray(img), jnp.asarray(uv),
+                                    padding_mode=padding))
+    table = build_corner_table(jnp.asarray(img), padding_mode=padding)
+    out = np.asarray(table_sample(table, jnp.asarray(uv), (h, w),
+                                  padding_mode=padding))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("padding", ["zeros", "border"])
+def test_table_sample_grad_matches_grid_sample(padding):
+    import jax
+    from neo360_tpu.ops.interpolate import build_corner_table, table_sample
+    img, uv = _random_case(7, h=6, w=5, c=4, n=64)
+    h, w = img.shape[1:3]
+    g = np.asarray(jax.grad(lambda p: jnp.sum(jnp.sin(grid_sample_2d(
+        p, jnp.asarray(uv), padding_mode=padding))))(jnp.asarray(img)))
+    gt = np.asarray(jax.grad(lambda p: jnp.sum(jnp.sin(table_sample(
+        build_corner_table(p, padding_mode=padding), jnp.asarray(uv),
+        (h, w), padding_mode=padding))))(jnp.asarray(img)))
+    np.testing.assert_allclose(gt, g, atol=1e-5)
+
+
+def test_table_sample_far_oob_zeros():
+    from neo360_tpu.ops.interpolate import build_corner_table, table_sample
+    img, _ = _random_case(2, n=1)
+    h, w = img.shape[1:3]
+    uv = jnp.asarray(np.full((img.shape[0], 5, 2), -9.0, np.float32))
+    out = np.asarray(table_sample(build_corner_table(jnp.asarray(img)),
+                                  uv, (h, w), padding_mode="zeros"))
+    np.testing.assert_array_equal(out, 0.0)

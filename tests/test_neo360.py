@@ -185,3 +185,110 @@ def test_neo360_overfit_smoke(multi_scene_root):
         mses.append(float(m["mse"]))
     assert np.isfinite(mses).all()
     assert np.mean(mses[-5:]) < np.mean(mses[:5]), mses
+
+
+def test_index_grid_tables_matches(multi_scene_root):
+    from neo360_tpu.nn.triplane import index_grid_tables
+    from neo360_tpu.ops.interpolate import build_corner_table
+    _, batch = _batch(multi_scene_root)
+    rng = np.random.default_rng(1)
+    planes = tuple(jnp.asarray(rng.normal(size=(3, 8, 10, 16)), jnp.float32)
+                   for _ in range(3))
+    samples = jnp.asarray(rng.uniform(-0.9, 0.9, size=(4, 5, 3)), jnp.float32)
+    ref = index_grid(samples, planes, batch["src_poses"], 3)
+    tables = tuple(build_corner_table(p, "zeros") for p in planes)
+    out = index_grid_tables(samples, tables, (8, 10), batch["src_poses"], 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_neo360_proposal_forward_and_loss(multi_scene_root):
+    from neo360_tpu.models.neo360 import (neo360_distortion_loss,
+                                          neo360_interlevel_loss)
+    ds, batch = _batch(multi_scene_root)
+    model = _tiny_model(use_proposal=True, num_prop_samples=8,
+                        num_fine_samples=6)
+    rays = {k: batch[k] for k in RAY_KEYS}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        rays, True, False)
+    out = model.apply(variables, rays, True, False, out_depth=True,
+                      rngs={"sampling": jax.random.PRNGKey(2)})
+    assert len(out) == 2
+    prop, fine = out
+    # prop level: 8+1 unconditioned points, rgb contributions are zero
+    assert prop["fg_weights"].shape == (8, 9)
+    np.testing.assert_array_equal(np.asarray(prop["fg_rgb"]), 0.0)
+    # fine level: only 6+1 resampled conditioned points (no merge)
+    assert fine["fg_weights"].shape == (8, 7)
+    assert fine["rgb"].shape == (8, 3)
+    np.testing.assert_allclose(
+        np.asarray(fine["rgb"]),
+        np.asarray(fine["fg_rgb"] + fine["bg_lambda"] * fine["bg_rgb"]),
+        rtol=1e-5, atol=1e-6)
+    il = float(neo360_interlevel_loss(out))
+    dl = float(neo360_distortion_loss(out))
+    assert np.isfinite(il) and il >= 0
+    assert np.isfinite(dl)
+    # prop params exist, conditioned coarse MLPs do not
+    assert "fg_prop_mlp" in variables["params"]
+    assert "fg_coarse_mlp" not in variables["params"]
+
+
+def test_neo360_proposal_grads_reach_prop_mlp(multi_scene_root):
+    from neo360_tpu.models.neo360 import neo360_interlevel_loss
+    from neo360_tpu.ops import losses as L
+    ds, batch = _batch(multi_scene_root, n_rays=4)
+    model = _tiny_model(use_proposal=True, num_prop_samples=6,
+                        num_fine_samples=4)
+    rays = {k: batch[k] for k in RAY_KEYS}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        rays, True, False)
+
+    def loss_fn(params):
+        out = model.apply({"params": params,
+                           "batch_stats": variables["batch_stats"]},
+                          rays, True, False,
+                          rngs={"sampling": jax.random.PRNGKey(3)})
+        return (L.img2mse(out[1]["rgb"], batch["target"])
+                + neo360_interlevel_loss(out))
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    g_fine = np.asarray(grads["fg_fine_mlp"]["pts_0"]["kernel"])
+    g_enc = jax.tree_util.tree_leaves(grads["encoder"])
+    assert np.any(g_fine != 0)
+    assert any(np.any(np.asarray(g) != 0) for g in g_enc)
+    # note: prop-MLP grads may be exactly 0 at init (the prop histogram can
+    # fully bound the resampled fine histogram); the synthetic test below
+    # checks the interlevel gradient path instead.
+
+
+def test_interlevel_loss_gradient_path():
+    """When fine mass sits where the prop histogram has none, the bound is
+    violated: loss > 0 and the gradient w.r.t. prop weights is nonzero."""
+    from neo360_tpu.models.neo360 import neo360_interlevel_loss
+
+    far = jnp.full((2, 1), 1.0)
+    fine_t = jnp.asarray([[0.8, 0.85, 0.9], [0.8, 0.85, 0.9]])
+    fine_w = jnp.asarray([[0.0, 0.9, 0.05], [0.0, 0.9, 0.05]])
+    prop_t = jnp.asarray([[0.0, 0.2, 0.4], [0.0, 0.2, 0.4]])
+    bg_t = jnp.asarray([[0.9, 0.5, 0.1], [0.9, 0.5, 0.1]])  # descending
+    bg_w = jnp.full((2, 3), 1.0 / 3)
+
+    def loss_of(prop_w):
+        results = [
+            {"fg_tvals": prop_t, "fg_weights": prop_w, "far": far,
+             "bg_tvals": bg_t, "bg_weights": bg_w},
+            {"fg_tvals": fine_t, "fg_weights": fine_w, "far": far,
+             "bg_tvals": bg_t, "bg_weights": bg_w},
+        ]
+        return neo360_interlevel_loss(results)
+
+    prop_w = jnp.asarray([[0.3, 0.3, 0.01], [0.3, 0.3, 0.01]])
+    loss = float(loss_of(prop_w))
+    g = np.asarray(jax.grad(loss_of)(prop_w))
+    assert loss > 0
+    assert np.any(g != 0)
+    # and when the prop bound covers everything, the fg term vanishes
+    covered = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
+    assert float(loss_of(covered)) < loss
