@@ -32,23 +32,30 @@ def main():
     from neo360_tpu.train import loop as tl
     from __graft_entry__ import _example_inputs
 
-    n_rays = 512  # reference uses 500; pad to the lane-friendly 512
+    import os
+    # reference uses 500 rays/step; default pads to the lane-friendly 512
+    n_rays = int(os.environ.get("NEO360_BENCH_RAYS", "512"))
     batch = _example_inputs(n_rays=n_rays, hw=(240, 320), seed=0)
     ray_keys = ("rays_o", "rays_d", "viewdirs", "src_imgs", "src_poses",
                 "src_focal", "src_c")
 
-    import os
     bf16 = os.environ.get("NEO360_BENCH_BF16", "1") != "0"
     # NEO360_BENCH_MODE=reference: the reference's exact sampling budget
     # (conditioned 128 coarse + merged 256 fine, fg+bg).
-    # =proposal: the neo360_fast preset (unconditioned 64-sample PropMLP
-    # level + 64 conditioned fine samples) — quality-validated against
-    # reference-mode at equal wall clock on the fixture drive (BASELINE.md).
-    mode = os.environ.get("NEO360_BENCH_MODE", "reference")
-    remat = os.environ.get("NEO360_BENCH_REMAT", "1") != "0"
+    # =proposal (default): the neo360_fast production preset (unconditioned
+    # 64-sample PropMLP level + 64 conditioned fine samples) —
+    # quality-validated against reference-mode sampling at EQUAL WALL CLOCK
+    # on the fixture drive (BASELINE.md: 22.47 vs 22.97 PSNR, within noise).
+    mode = os.environ.get("NEO360_BENCH_MODE", "proposal")
+    remat = os.environ.get("NEO360_BENCH_REMAT", "0") != "0"
+    # lift 128 = neo360_fast production default (quality-validated on the
+    # fixture drive: 25.79 vs 23.87 val PSNR at matched steps vs the 512-ch
+    # reference lift); NEO360_BENCH_LIFT=0 restores the reference lift.
+    default_lift = "0" if mode == "reference" else "128"
+    lift = int(os.environ.get("NEO360_BENCH_LIFT", default_lift)) or None
     model = NeRFTP(compute_dtype=jnp.bfloat16 if bf16 else jnp.float32,
                    use_proposal=(mode == "proposal"),
-                   num_prop_samples=64, remat_encoder=remat,
+                   num_prop_samples=64, remat_encoder=remat, lift_dim=lift,
                    num_fine_samples=64 if mode == "proposal" else 256)
     rays = {k: batch[k] for k in ray_keys}
     variables = model.init(

@@ -92,7 +92,7 @@ def build_model(cfg: Config):
         from neo360_tpu.models.neo360 import NeRFTP
         return NeRFTP(num_src_views=cfg.num_src_views, compute_dtype=dtype,
                       use_proposal=True, num_prop_samples=64,
-                      num_fine_samples=64)
+                      num_fine_samples=64, lift_dim=cfg.lift_dim)
     raise ValueError(cfg.exp_type)
 
 

@@ -34,6 +34,8 @@ class Config:
     ray_batch_size: int = 500              # rays per AE sample (few-shot)
     chunk: int = 4096                      # eval rays per tile
     num_src_views: int = 3
+    lift_dim: Optional[int] = None         # grid-lift row width (neo360_fast
+                                           # preset: 128; None = reference)
 
     # optimization
     bf16: bool = False                     # bf16 compute in encoders/MLPs
@@ -86,7 +88,7 @@ def preset(exp_type: str, **overrides) -> Config:
     elif exp_type == "neo360_fast":
         cfg = Config(exp_type="neo360_fast", dataset_name="nerds360_ae",
                      lr_init=5e-4, lr_final=5e-6, grad_max_norm=0.05,
-                     bf16=True)
+                     bf16=True, lift_dim=128)
     else:
         raise ValueError(f"unknown exp_type {exp_type!r}; "
                          f"expected one of {EXP_TYPES}")

@@ -162,6 +162,9 @@ class NeRFTP(nn.Module):
     # resample_padding): keeps exploration on held-out views where the
     # unconditioned prop can be over-confident
     resample_padding: float = 0.01
+    # width of the grid-lift rows (nn/triplane.py GridEncoder.lift_dim);
+    # None = reference 512-ch lift
+    lift_dim: Any = None
 
     def setup(self):
         # nn.remat: the encoder's 64^3-grid activations are recomputed in the
@@ -169,7 +172,8 @@ class NeRFTP(nn.Module):
         enc_cls = (nn.remat(GridEncoder, static_argnums=(5,))
                    if self.remat_encoder else GridEncoder)
         self.encoder = enc_cls(grid_size=self.grid_size,
-                               dtype=self.compute_dtype, name="encoder")
+                               dtype=self.compute_dtype,
+                               lift_dim=self.lift_dim, name="encoder")
         if self.use_proposal:
             self.fg_prop_mlp = PropMLP(dtype=self.compute_dtype,
                                        name="fg_prop_mlp")

@@ -108,10 +108,23 @@ class GridEncoder(nn.Module):
     plane_hw: Tuple[int, int] = (120, 160)
     latent_size: int = 512
     dtype: Any = jnp.float32
+    # lift_dim: project the pixel latent MAP to this width (one dense matmul
+    # over 120x160xNV positions) before the 786k-point grid-lift gather, so
+    # every gathered row shrinks from 512 ch to lift_dim ch. The gather and
+    # its backward scatter are the encoder's dominant cost and scale
+    # linearly in row bytes (BASELINE.md). At 512 this composes two linear
+    # maps (same function class as the reference fc0); below 512 it rank-
+    # restricts only the FEATURE block of fc0 (geometry inputs unaffected).
+    # None = reference layout (table built from the raw 512-ch latent).
+    lift_dim: int | None = None
 
     def setup(self):
         self.spatial_encoder = SpatialEncoder(dtype=self.dtype,
                                               name="spatial_encoder")
+        if self.lift_dim is not None:
+            self.lift_proj = nn.Dense(
+                self.lift_dim, use_bias=False, kernel_init=_KAIMING_N,
+                dtype=self.dtype, name="lift_proj")
         self.depth_fc = DepthPillarEncoder(self.latent_size, self.dtype,
                                            name="depth_fc")
         self.pillar_yz = PillarAggregator(self.latent_size, self.dtype,
@@ -160,9 +173,11 @@ class GridEncoder(nn.Module):
         lat_hw = pixel_latent.shape[1:3]
         scale = latent_scaling(lat_hw) / jnp.asarray((w, h), jnp.float32)
         uv_norm = uv * scale - 1.0
+        lift_map = (self.lift_proj(pixel_latent)
+                    if self.lift_dim is not None else pixel_latent)
         latent = table_sample(
-            build_corner_table(pixel_latent, "zeros"), uv_norm, lat_hw,
-            padding_mode="zeros", out_dtype=pixel_latent.dtype)  # (NV,G,512)
+            build_corner_table(lift_map, "zeros"), uv_norm, lat_hw,
+            padding_mode="zeros", out_dtype=lift_map.dtype)  # (NV,G,lift)
 
         latent = jnp.concatenate([latent, camera_grids, cam_dir], axis=-1)
         latent = self.depth_fc(latent)                    # (NV, G, 512)

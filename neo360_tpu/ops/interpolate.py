@@ -70,9 +70,8 @@ def grid_sample_2d(image: jnp.ndarray, uv: jnp.ndarray,
         xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
         yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
         idx = base + yc * w + xc                             # (B, N)
-        vals = jnp.take(flat, idx.reshape(-1), axis=0,
-                        unique_indices=False,
-                        indices_are_sorted=False).reshape(b, n, c)
+        vals = flat.at[idx.reshape(-1)].get(
+            mode="promise_in_bounds").reshape(b, n, c)
         return vals * wgt[..., None]
 
     out = (fetch(x0, y0, w00) + fetch(x1, y0, w01)
@@ -157,13 +156,23 @@ def table_sample(table: jnp.ndarray, uv: jnp.ndarray, hw: tuple,
     base = (jnp.arange(b, dtype=jnp.int32) * (hp * wp))[:, None]
     idx = base + yb * wp + xb
     n = uv.shape[1]
-    rows = jnp.take(flat, idx.reshape(-1), axis=0).reshape(b, n, c4)
-    rows = rows.astype(out_dtype)
-    out = (rows[..., :c] * w00[..., None].astype(out_dtype)
-           + rows[..., c:2 * c] * w01[..., None].astype(out_dtype)
-           + rows[..., 2 * c:3 * c] * w10[..., None].astype(out_dtype)
-           + rows[..., 3 * c:] * w11[..., None].astype(out_dtype))
-    return out
+    # promise_in_bounds: xb/yb are clipped above, so XLA can skip the
+    # OOB select_n it otherwise fuses after the gather (12 ms/step on the
+    # 786k-row encoder lift). Flat (B*N, 4C) shapes throughout: the 3-D
+    # (B, N, 4C) form made XLA pick a points-in-lanes layout for the
+    # downstream matmul and insert two full-size layout copies.
+    rows = flat.at[idx.reshape(-1)].get(mode="promise_in_bounds")
+    # weighted corner fold in the TABLE's dtype via 2-D slices of the flat
+    # {1,0}-layout rows (a (B,N,4C) reshape here makes XLA materialize a
+    # retiled copy, 13 ms/step on the encoder lift; casting rows to f32 up
+    # front materializes a 3 GB temp at the 8k-ray fine level). For f32
+    # tables this is exact; for bf16 tables precision is already bounded by
+    # the rows.
+    acc = rows.dtype
+    wf = [w.reshape(b * n, 1).astype(acc) for w in (w00, w01, w10, w11)]
+    out = (rows[:, :c] * wf[0] + rows[:, c:2 * c] * wf[1]
+           + rows[:, 2 * c:3 * c] * wf[2] + rows[:, 3 * c:] * wf[3])
+    return out.reshape(b, n, c).astype(out_dtype)
 
 
 def in_bounds_mask(uv: jnp.ndarray) -> jnp.ndarray:
@@ -198,8 +207,11 @@ def resize_bilinear_align_corners(image: jnp.ndarray,
     h_in, w_in = image.shape[-3], image.shape[-2]
     if (h_in, w_in) == (h_out, w_out):
         return image
-    mh = jnp.asarray(_interp_matrix(h_out, h_in))
-    mw = jnp.asarray(_interp_matrix(w_out, w_in))
+    # interp matrices in the image's dtype: a f32 matrix would silently
+    # promote a bf16 pyramid to f32, doubling every downstream feature map
+    # (and the encoder's 6 GB grid-lift gather rows at 8k-ray batches)
+    mh = jnp.asarray(_interp_matrix(h_out, h_in), dtype=image.dtype)
+    mw = jnp.asarray(_interp_matrix(w_out, w_in), dtype=image.dtype)
     out = jnp.einsum("oh,...hwc->...owc", mh, image)
     out = jnp.einsum("ow,...hwc->...hoc", mw, out)
     return out

@@ -38,14 +38,17 @@ def main():
     print("devices:", jax.devices())
     root = make_multi_scene_root(tempfile.mkdtemp(prefix="neo360_drive_"),
                                  n_scenes=2, wh=(64, 48))
-    n_rays = 512
+    # NEO360_DRIVE_RAYS: large-batch A/B (LR scaled ~sqrt of batch ratio)
+    n_rays = int(os.environ.get("NEO360_DRIVE_RAYS", "512"))
     ds = NeRDS360AE(root, split="train", img_wh=(64, 48),
                     ray_batch_size=n_rays, dest_views_per_sample=8)
 
     proposal = os.environ.get("NEO360_DRIVE_PROPOSAL", "0") == "1"
+    lift = int(os.environ.get("NEO360_DRIVE_LIFT", "0")) or None
     model = NeRFTP(num_coarse_samples=32, num_fine_samples=48,
                    grid_size=(32, 32, 32), compute_dtype=jnp.bfloat16,
-                   use_proposal=proposal, num_prop_samples=32)
+                   use_proposal=proposal, num_prop_samples=32,
+                   lift_dim=lift)
     print("proposal mode:", proposal)
 
     rng = np.random.default_rng(0)
@@ -54,7 +57,8 @@ def main():
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
         rays0, True, False, train=False)
-    opt = optax.chain(optax.clip_by_global_norm(0.05), optax.adam(1e-3))
+    lr = 1e-3 * float(np.sqrt(n_rays / 512.0))
+    opt = optax.chain(optax.clip_by_global_norm(0.05), optax.adam(lr))
     state = tl.create_train_state(variables["params"], opt,
                                   variables["batch_stats"])
 

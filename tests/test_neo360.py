@@ -292,3 +292,28 @@ def test_interlevel_loss_gradient_path():
     # and when the prop bound covers everything, the fg term vanishes
     covered = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
     assert float(loss_of(covered)) < loss
+
+
+def test_lift_dim_forward_and_grads(multi_scene_root):
+    """lift_dim projects the grid-lift rows (nn/triplane.py lift_proj);
+    forward runs and gradients reach both the projection and the backbone."""
+    _, s = _batch(multi_scene_root)
+    rays = {k: s[k] for k in RAY_KEYS}
+    model = _tiny_model(use_proposal=True, num_prop_samples=4, lift_dim=32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        rays, True, False)
+    kern = variables["params"]["encoder"]["lift_proj"]["kernel"]
+    assert kern.shape == (512, 32)
+
+    def loss_fn(params):
+        out = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            rays, True, False, rngs={"sampling": jax.random.PRNGKey(2)})
+        return jnp.mean(out[-1]["rgb"] ** 2)
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    assert np.any(np.asarray(grads["encoder"]["lift_proj"]["kernel"]) != 0)
+    backbone = jax.tree_util.tree_leaves(
+        grads["encoder"]["spatial_encoder"])
+    assert any(np.any(np.asarray(g) != 0) for g in backbone)
