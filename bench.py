@@ -53,9 +53,14 @@ def main():
     # reference lift); NEO360_BENCH_LIFT=0 restores the reference lift.
     default_lift = "0" if mode == "reference" else "128"
     lift = int(os.environ.get("NEO360_BENCH_LIFT", default_lift)) or None
+    # encoder width: quality-gated fast-preset knob (see NeRFTP.encoder_width
+    # and BASELINE.md fixture A/Bs); reference mode keeps the reference 512.
+    encw = int(os.environ.get(
+        "NEO360_BENCH_ENCW", "512" if mode == "reference" else "512"))
     model = NeRFTP(compute_dtype=jnp.bfloat16 if bf16 else jnp.float32,
                    use_proposal=(mode == "proposal"),
                    num_prop_samples=64, remat_encoder=remat, lift_dim=lift,
+                   encoder_width=encw,
                    num_fine_samples=64 if mode == "proposal" else 256)
     rays = {k: batch[k] for k in ray_keys}
     variables = model.init(

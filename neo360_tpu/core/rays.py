@@ -174,3 +174,54 @@ def ray_aabb_intersection(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     hit = (t_near <= t_far) & (t_near >= 0.0) & (t_far >= 0.0)
     zero = jnp.zeros_like(t_near)
     return hit, jnp.where(hit, t_near, zero), jnp.where(hit, t_far, zero)
+
+
+def get_rays_segmented(seg_masks: np.ndarray, class_ids,
+                       rays_o: np.ndarray, rays_d: np.ndarray,
+                       w: int, h: int, n_rays: int,
+                       rng: "np.random.Generator | None" = None):
+    """Segmentation-conditioned ray picking (reference ray_utils.py:276-326).
+
+    seg_masks: (H, W, K) per-class masks (>0 = member) aligned with
+    `class_ids` (K,); rays_o/rays_d: (H*W, 3) flattened rays. For each class,
+    draws `n_rays` member rays with replacement. Host-side numpy (runs in the
+    data pipeline, like the reference's dataloader path).
+
+    Returns (rays_o_per_class, rays_d_per_class, sorted_class_ids, fg_mask)
+    where the lists hold one (n_member_rays, 3) array per class (the
+    reference returns the deduplicated member rays of the sampled index set)
+    and fg_mask is the flattened any-class membership mask.
+    """
+    rng = rng or np.random.default_rng()
+    seg = np.zeros((h, w), dtype=np.int64)
+    class_ids = sorted(int(c) for c in class_ids)
+    for i, cid in enumerate(class_ids):
+        seg[seg_masks[:, :, i] > 0] = cid
+
+    flat = seg.flatten()
+    rays_o_cls, rays_d_cls, select_inds = [], [], []
+    for cid in class_ids:
+        member = np.where(flat == cid)[0]
+        picked = member[rng.integers(0, member.shape[0], size=n_rays)]
+        select_inds.append(picked)
+        mask = np.zeros(rays_o.shape[0], dtype=bool)
+        mask[picked] = True
+        rays_o_cls.append(rays_o[mask])
+        rays_d_cls.append(rays_d[mask])
+    return rays_o_cls, rays_d_cls, class_ids, flat > 0
+
+
+def get_rays_mvs(h: int, w: int, focal, c2w: jnp.ndarray):
+    """MVS-convention rays: +z forward, principal point at the image center
+    (reference ray_utils.py:335-351; feeds homography-warp style pipelines).
+    c2w: (3|4, 4). Returns (rays_o, rays_d) each (H*W, 3); rays_d is NOT
+    normalized (matches the reference)."""
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    xs = xs.reshape(-1)
+    ys = ys.reshape(-1)
+    dirs = jnp.stack([(xs - w / 2) / focal, (ys - h / 2) / focal,
+                      jnp.ones_like(xs)], axis=-1)
+    rays_d = dirs @ c2w[:3, :3].T
+    rays_o = jnp.broadcast_to(c2w[:3, 3], rays_d.shape)
+    return rays_o, rays_d

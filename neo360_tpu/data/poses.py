@@ -103,3 +103,36 @@ def sorted_image_files(scene_dir: str, split: str) -> List[str]:
     files = os.listdir(os.path.join(scene_dir, split, "rgb"))
     files.sort()
     return files
+
+
+def get_rotation_matrix(rotation_deg: float,
+                        rng: Optional[np.random.Generator] = None
+                        ) -> np.ndarray:
+    """Random small rotation R = Rx @ Ry @ Rz with each Euler angle drawn
+    uniformly from +-rotation_deg (reference nerds360_ae.py:22-42)."""
+    rng = rng or np.random.default_rng()
+    phi = rotation_deg * (np.pi / 180.0)
+    x, y, z = rng.uniform(-phi, phi, size=3)
+    rot_x = np.array([[1, 0, 0],
+                      [0, np.cos(x), -np.sin(x)],
+                      [0, np.sin(x), np.cos(x)]])
+    rot_y = np.array([[np.cos(y), 0, -np.sin(y)],
+                      [0, 1, 0],
+                      [np.sin(y), 0, np.cos(y)]])
+    rot_z = np.array([[np.cos(z), -np.sin(z), 0],
+                      [np.sin(z), np.cos(z), 0],
+                      [0, 0, 1]])
+    return (rot_x @ rot_y @ rot_z).astype(np.float64)
+
+
+def rot_from_origin(c2w: np.ndarray, rotation_deg: float = 10.0,
+                    rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Jitter a camera-to-world pose by a random rotation about the world
+    origin — the "near pose" used by the reference's smoothing-loss path
+    (nerds360_ae.py:12-19, called at :354). Returns a (3|4, 4) pose matching
+    the input's leading shape."""
+    rot_mat = get_rotation_matrix(rotation_deg, rng)
+    out = np.array(c2w, dtype=np.float64, copy=True)
+    out[:3, :3] = rot_mat @ c2w[:3, :3]
+    out[:3, 3:4] = rot_mat @ c2w[:3, 3:4]
+    return out.astype(c2w.dtype if hasattr(c2w, "dtype") else np.float32)

@@ -165,6 +165,13 @@ class NeRFTP(nn.Module):
     # width of the grid-lift rows (nn/triplane.py GridEncoder.lift_dim);
     # None = reference 512-ch lift
     lift_dim: Any = None
+    # width of the encoder's DepthPillarEncoder/PillarAggregator latents
+    # (GridEncoder.latent_size). The reference hardcodes 512
+    # (encoder_tp_fusion_conv.py:263-373); profiling shows the 786k-point
+    # depth_fc matmuls + pillar reductions are ~35% of the train step, all
+    # linear-to-quadratic in this width. Narrower widths are a quality-gated
+    # fast-preset knob (fixture A/B at matched wall clock, BASELINE.md).
+    encoder_width: int = 512
 
     def setup(self):
         # nn.remat: the encoder's 64^3-grid activations are recomputed in the
@@ -173,7 +180,9 @@ class NeRFTP(nn.Module):
                    if self.remat_encoder else GridEncoder)
         self.encoder = enc_cls(grid_size=self.grid_size,
                                dtype=self.compute_dtype,
-                               lift_dim=self.lift_dim, name="encoder")
+                               lift_dim=self.lift_dim,
+                               latent_size=self.encoder_width,
+                               name="encoder")
         if self.use_proposal:
             self.fg_prop_mlp = PropMLP(dtype=self.compute_dtype,
                                        name="fg_prop_mlp")

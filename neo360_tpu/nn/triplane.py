@@ -75,6 +75,48 @@ class PillarAggregator(nn.Module):
         return dense(1, "out")(nn.relu(dense(self.features, "hidden")(x)))
 
 
+class TriPillarAggregator(nn.Module):
+    """The three per-axis PillarAggregators fused into one latent matmul.
+
+    Exactly the reference's function class (three MLP(latent ++ coord_k) ->
+    logit heads, encoder_tp_fusion_conv.py:364-373): each aggregator's
+    (C+1, F) hidden kernel splits into a latent block (C, F) and a
+    coordinate column (F,). The three latent blocks are stored as ONE
+    (C, 3F) kernel so the hidden layer is a single MXU matmul reading the
+    786k-point latent once — profiling showed the per-axis variant was
+    HBM-bound re-reading the latent three times (~6.4 ms/step of a 148 ms
+    NeO-360 step at width 512).
+    """
+
+    features: int = 512
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, latent: jnp.ndarray, coords: jnp.ndarray):
+        """latent (..., C); coords (..., 3) = world (x, y, z) of each cell.
+
+        Returns three logit maps (..., 1) for the yz (sum over X), xz
+        (sum over Y), xy (sum over Z) collapses, in that order.
+        """
+        f = self.features
+        hid = nn.Dense(3 * f, kernel_init=_KAIMING_N, use_bias=False,
+                       dtype=self.dtype, name="hidden_lat")(latent)
+        # per-axis coordinate column + bias of the reference (C+1, F) kernel
+        coord_w = self.param("coord_w", _KAIMING_N, (3, f))
+        hidden_b = self.param("hidden_b", _bias_init, (3, f))
+        cw = coord_w.astype(hid.dtype)
+        hb = hidden_b.astype(hid.dtype)
+        logits = []
+        for k, name in enumerate(("yz", "xz", "xy")):
+            h = nn.relu(hid[..., k * f:(k + 1) * f]
+                        + coords[..., k:k + 1].astype(hid.dtype) * cw[k]
+                        + hb[k])
+            logits.append(nn.Dense(1, kernel_init=_KAIMING_N,
+                                   bias_init=_bias_init, dtype=self.dtype,
+                                   name=f"out_{name}")(h))
+        return logits
+
+
 class FloorplanConvNet(nn.Module):
     """512-ch floorplan -> 128-ch plane at plane_hw (:375-397)."""
 
@@ -127,12 +169,8 @@ class GridEncoder(nn.Module):
                 dtype=self.dtype, name="lift_proj")
         self.depth_fc = DepthPillarEncoder(self.latent_size, self.dtype,
                                            name="depth_fc")
-        self.pillar_yz = PillarAggregator(self.latent_size, self.dtype,
-                                          name="pillar_yz")
-        self.pillar_xz = PillarAggregator(self.latent_size, self.dtype,
-                                          name="pillar_xz")
-        self.pillar_xy = PillarAggregator(self.latent_size, self.dtype,
-                                          name="pillar_xy")
+        self.tri_pillar = TriPillarAggregator(self.latent_size, self.dtype,
+                                              name="tri_pillar")
         self.floorplan_yz = FloorplanConvNet(self.plane_hw, self.dtype,
                                              name="floorplan_yz")
         self.floorplan_xz = FloorplanConvNet(self.plane_hw, self.dtype,
@@ -184,19 +222,15 @@ class GridEncoder(nn.Module):
         latent = latent.reshape(nv, gx, gy, gz, self.latent_size)
 
         wg = world_grid.reshape(1, gx, gy, gz, 3)
-        world_x = jnp.broadcast_to(wg[..., 0:1], latent.shape[:-1] + (1,))
-        world_y = jnp.broadcast_to(wg[..., 1:2], latent.shape[:-1] + (1,))
-        world_z = jnp.broadcast_to(wg[..., 2:3], latent.shape[:-1] + (1,))
+        coords = jnp.broadcast_to(wg, latent.shape[:-1] + (3,))
 
-        w_yz = nn.softmax(self.pillar_yz(
-            jnp.concatenate([latent, world_x.astype(latent.dtype)], -1)
-        ).astype(jnp.float32), axis=1).astype(latent.dtype)
-        w_xz = nn.softmax(self.pillar_xz(
-            jnp.concatenate([latent, world_y.astype(latent.dtype)], -1)
-        ).astype(jnp.float32), axis=2).astype(latent.dtype)
-        w_xy = nn.softmax(self.pillar_xy(
-            jnp.concatenate([latent, world_z.astype(latent.dtype)], -1)
-        ).astype(jnp.float32), axis=3).astype(latent.dtype)
+        logit_yz, logit_xz, logit_xy = self.tri_pillar(latent, coords)
+        w_yz = nn.softmax(logit_yz.astype(jnp.float32),
+                          axis=1).astype(latent.dtype)
+        w_xz = nn.softmax(logit_xz.astype(jnp.float32),
+                          axis=2).astype(latent.dtype)
+        w_xy = nn.softmax(logit_xy.astype(jnp.float32),
+                          axis=3).astype(latent.dtype)
 
         floor_yz = jnp.sum(latent * w_yz, axis=1)   # (NV, Y, Z, 512)
         floor_xz = jnp.sum(latent * w_xz, axis=2)   # (NV, X, Z, 512)

@@ -317,3 +317,60 @@ def test_lift_dim_forward_and_grads(multi_scene_root):
     backbone = jax.tree_util.tree_leaves(
         grads["encoder"]["spatial_encoder"])
     assert any(np.any(np.asarray(g) != 0) for g in backbone)
+
+
+def test_neo360_encoder_width_knob(multi_scene_root):
+    """encoder_width narrows DepthPillarEncoder/pillar latents end-to-end."""
+    import jax
+    import jax.numpy as jnp
+    from neo360_tpu.models.neo360 import NeRFTP
+
+    model = NeRFTP(num_coarse_samples=4, num_fine_samples=4,
+                   grid_size=(8, 8, 8), encoder_width=64, lift_dim=32,
+                   use_proposal=True, num_prop_samples=4)
+    _, batch = _batch(multi_scene_root)
+    rays = {k: batch[k] for k in ("rays_o", "rays_d", "viewdirs", "src_imgs",
+                                  "src_poses", "src_focal", "src_c")}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        rays, False, False)
+    p = variables["params"]["encoder"]
+    assert p["depth_fc"]["depth"]["kernel"].shape[-1] == 64
+    assert p["tri_pillar"]["hidden_lat"]["kernel"].shape == (64, 3 * 64)
+    out = model.apply(variables, rays, False, False)
+    assert out[-1]["rgb"].shape == rays["rays_o"].shape
+
+
+def test_tri_pillar_matches_three_aggregators():
+    """TriPillarAggregator is exactly three PillarAggregators whose (C+1,F)
+    hidden kernels are split into a shared latent matmul + coord columns."""
+    import jax
+    import jax.numpy as jnp
+    from neo360_tpu.nn.triplane import PillarAggregator, TriPillarAggregator
+
+    c, f, n = 12, 16, 40
+    rng = np.random.default_rng(0)
+    latent = jnp.asarray(rng.standard_normal((2, n, c)), jnp.float32)
+    coords = jnp.asarray(rng.standard_normal((2, n, 3)), jnp.float32)
+
+    tri = TriPillarAggregator(features=f)
+    tv = tri.init(jax.random.PRNGKey(0), latent, coords)
+    outs = tri.apply(tv, latent, coords)
+
+    p = tv["params"]
+    for k, name in enumerate(("yz", "xz", "xy")):
+        ref = PillarAggregator(features=f)
+        ref_params = {"params": {
+            "hidden": {
+                "kernel": jnp.concatenate(
+                    [p["hidden_lat"]["kernel"][:, k * f:(k + 1) * f],
+                     p["coord_w"][k][None]], axis=0),
+                "bias": p["hidden_b"][k],
+            },
+            "out": {"kernel": p[f"out_{name}"]["kernel"],
+                    "bias": p[f"out_{name}"]["bias"]},
+        }}
+        x = jnp.concatenate([latent, coords[..., k:k + 1]], axis=-1)
+        want = ref.apply(ref_params, x)
+        np.testing.assert_allclose(np.asarray(outs[k]), np.asarray(want),
+                                   atol=1e-5)
