@@ -57,10 +57,12 @@ def main():
     # and BASELINE.md fixture A/Bs); reference mode keeps the reference 512.
     encw = int(os.environ.get(
         "NEO360_BENCH_ENCW", "512" if mode == "reference" else "512"))
+    # pillar hidden width (NeRFTP.pillar_width); 0 = reference parity
+    pillw = int(os.environ.get("NEO360_BENCH_PILLW", "0")) or None
     model = NeRFTP(compute_dtype=jnp.bfloat16 if bf16 else jnp.float32,
                    use_proposal=(mode == "proposal"),
                    num_prop_samples=64, remat_encoder=remat, lift_dim=lift,
-                   encoder_width=encw,
+                   encoder_width=encw, pillar_width=pillw,
                    num_fine_samples=64 if mode == "proposal" else 256)
     rays = {k: batch[k] for k in ray_keys}
     variables = model.init(

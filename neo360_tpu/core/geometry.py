@@ -79,3 +79,44 @@ def projection(c_xyz: jnp.ndarray, focal: jnp.ndarray, c: jnp.ndarray,
     f = repeat_interleave(focal[:, None, :], nv if focal.shape[0] > 1 else 1)
     cc = repeat_interleave(c[:, None, :], nv if c.shape[0] > 1 else 1)
     return uv * f + cc
+
+
+def homography_warp(src_feat: jnp.ndarray, proj_mat: jnp.ndarray,
+                    depth_values: jnp.ndarray) -> jnp.ndarray:
+    """MVS plane-sweep warp (reference models/neo360/util.py:680-731).
+
+    For every reference pixel and every hypothesis depth, projects the
+    pixel into the source view with `proj_mat = src_proj @ ref_proj_inv`
+    and bilinear-samples the source features (zeros padding,
+    align_corners=True — ops/interpolate.grid_sample_2d semantics, matching
+    the reference's F.grid_sample call at util.py:725-727).
+
+    Args:
+      src_feat: (B, H, W, C) source-view feature maps (NHWC — TPU layout;
+        the reference is NCHW).
+      proj_mat: (B, 3, 4) ref-pixel -> src-pixel homogeneous projection.
+      depth_values: (B, D) hypothesis depths per batch.
+
+    Returns:
+      (B, D, H, W, C) warped features (reference returns (B, C, D, H, W)).
+    """
+    b, h, w, _ = src_feat.shape
+    d = depth_values.shape[1]
+
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    ref = jnp.stack([xs.ravel(), ys.ravel(),
+                     jnp.ones(h * w, jnp.float32)])          # (3, HW)
+    rot = proj_mat[:, :, :3]                                  # (B, 3, 3)
+    t = proj_mat[:, :, 3:]                                    # (B, 3, 1)
+    # (R @ x) + T/depth ~ homogeneous (R @ x * depth + T) (reference :712)
+    src = (jnp.einsum("bij,jn->bin", rot, ref)[:, None]
+           + t[:, None] / depth_values[:, :, None, None])     # (B, D, 3, HW)
+    uv = src[:, :, :2] / src[:, :, 2:]
+    scale = jnp.array([(w - 1) / 2.0, (h - 1) / 2.0])
+    uv = uv / scale[None, None, :, None] - 1.0                # [-1, 1]
+    uv = uv.transpose(0, 1, 3, 2).reshape(b, d * h * w, 2)
+
+    from neo360_tpu.ops.interpolate import grid_sample_2d
+    warped = grid_sample_2d(src_feat, uv, padding_mode="zeros")
+    return warped.reshape(b, d, h, w, -1)

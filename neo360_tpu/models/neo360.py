@@ -172,6 +172,10 @@ class NeRFTP(nn.Module):
     # linear-to-quadratic in this width. Narrower widths are a quality-gated
     # fast-preset knob (fixture A/B at matched wall clock, BASELINE.md).
     encoder_width: int = 512
+    # TriPillarAggregator hidden width (GridEncoder.pillar_width); the
+    # pillar hidden layer is ~57% of encoder MACs for three scalar logits
+    # per cell. None = encoder_width (reference parity).
+    pillar_width: Any = None
 
     def setup(self):
         # nn.remat: the encoder's 64^3-grid activations are recomputed in the
@@ -182,6 +186,7 @@ class NeRFTP(nn.Module):
                                dtype=self.compute_dtype,
                                lift_dim=self.lift_dim,
                                latent_size=self.encoder_width,
+                               pillar_width=self.pillar_width,
                                name="encoder")
         if self.use_proposal:
             self.fg_prop_mlp = PropMLP(dtype=self.compute_dtype,

@@ -28,6 +28,7 @@ from __future__ import annotations
 from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from neo360_tpu.core import geometry
@@ -90,6 +91,11 @@ class TriPillarAggregator(nn.Module):
 
     features: int = 512
     dtype: Any = jnp.float32
+    # hidden width per axis head. The reference uses latent_size (512);
+    # the hidden layer is 57% of the encoder's MACs just to produce three
+    # scalar logits per cell, so narrower widths are a quality-gated knob
+    # (fixture A/B, BASELINE.md). None = features (reference parity).
+    hidden_features: Any = None
 
     @nn.compact
     def __call__(self, latent: jnp.ndarray, coords: jnp.ndarray):
@@ -98,7 +104,7 @@ class TriPillarAggregator(nn.Module):
         Returns three logit maps (..., 1) for the yz (sum over X), xz
         (sum over Y), xy (sum over Z) collapses, in that order.
         """
-        f = self.features
+        f = self.hidden_features or self.features
         hid = nn.Dense(3 * f, kernel_init=_KAIMING_N, use_bias=False,
                        dtype=self.dtype, name="hidden_lat")(latent)
         # per-axis coordinate column + bias of the reference (C+1, F) kernel
@@ -159,6 +165,8 @@ class GridEncoder(nn.Module):
     # restricts only the FEATURE block of fc0 (geometry inputs unaffected).
     # None = reference layout (table built from the raw 512-ch latent).
     lift_dim: int | None = None
+    # TriPillarAggregator hidden width; None = latent_size (reference 512)
+    pillar_width: int | None = None
 
     def setup(self):
         self.spatial_encoder = SpatialEncoder(dtype=self.dtype,
@@ -170,6 +178,7 @@ class GridEncoder(nn.Module):
         self.depth_fc = DepthPillarEncoder(self.latent_size, self.dtype,
                                            name="depth_fc")
         self.tri_pillar = TriPillarAggregator(self.latent_size, self.dtype,
+                                              hidden_features=self.pillar_width,
                                               name="tri_pillar")
         self.floorplan_yz = FloorplanConvNet(self.plane_hw, self.dtype,
                                              name="floorplan_yz")
@@ -225,16 +234,32 @@ class GridEncoder(nn.Module):
         coords = jnp.broadcast_to(wg, latent.shape[:-1] + (3,))
 
         logit_yz, logit_xz, logit_xy = self.tri_pillar(latent, coords)
-        w_yz = nn.softmax(logit_yz.astype(jnp.float32),
+        w_yz = nn.softmax(logit_yz[..., 0].astype(jnp.float32),
                           axis=1).astype(latent.dtype)
-        w_xz = nn.softmax(logit_xz.astype(jnp.float32),
+        w_xz = nn.softmax(logit_xz[..., 0].astype(jnp.float32),
                           axis=2).astype(latent.dtype)
-        w_xy = nn.softmax(logit_xy.astype(jnp.float32),
+        w_xy = nn.softmax(logit_xy[..., 0].astype(jnp.float32),
                           axis=3).astype(latent.dtype)
 
-        floor_yz = jnp.sum(latent * w_yz, axis=1)   # (NV, Y, Z, 512)
-        floor_xz = jnp.sum(latent * w_xz, axis=2)   # (NV, X, Z, 512)
-        floor_xy = jnp.sum(latent * w_xy, axis=3)   # (NV, X, Y, 512)
+        # softmax-weighted axis collapses as dot_general contractions
+        # (batch dims = the kept axes) rather than sum(latent * w[..., None]):
+        # the broadcast-multiply form makes XLA materialize three full
+        # (NV,X,Y,Z,C) weight broadcasts (~2.4 GB/step of HBM writes+reads,
+        # ~10% of the NeO-360 train step in the xplane profile); the
+        # contraction form reads `latent` once per floor with no broadcast.
+        def collapse(w, axis):
+            # out[batch..., c] = sum_axis w * latent; f32 accumulation (the
+            # 64-term bf16 sums otherwise cost ~1e-2 relative error, which
+            # measurably hurts held-out renders — fixture drive, BASELINE.md)
+            batch = tuple(i for i in range(4) if i != axis)
+            return jax.lax.dot_general(
+                w, latent,
+                dimension_numbers=(((axis,), (axis,)), (batch, batch)),
+                preferred_element_type=jnp.float32).astype(latent.dtype)
+
+        floor_yz = collapse(w_yz, 1)   # (NV, Y, Z, 512)
+        floor_xz = collapse(w_xz, 2)   # (NV, X, Z, 512)
+        floor_xy = collapse(w_xy, 3)   # (NV, X, Y, 512)
 
         plane_yz = self.floorplan_yz(floor_yz, train).astype(jnp.float32)
         plane_xz = self.floorplan_xz(floor_xz, train).astype(jnp.float32)

@@ -46,10 +46,11 @@ def main():
     proposal = os.environ.get("NEO360_DRIVE_PROPOSAL", "0") == "1"
     lift = int(os.environ.get("NEO360_DRIVE_LIFT", "0")) or None
     encw = int(os.environ.get("NEO360_DRIVE_ENCW", "512"))
+    pillw = int(os.environ.get("NEO360_DRIVE_PILLW", "0")) or None
     model = NeRFTP(num_coarse_samples=32, num_fine_samples=48,
                    grid_size=(32, 32, 32), compute_dtype=jnp.bfloat16,
                    use_proposal=proposal, num_prop_samples=32,
-                   lift_dim=lift, encoder_width=encw)
+                   lift_dim=lift, encoder_width=encw, pillar_width=pillw)
     print("proposal mode:", proposal)
 
     rng = np.random.default_rng(0)

@@ -32,6 +32,15 @@ from __graft_entry__ import _example_inputs  # noqa: E402
 
 
 def summarize_xspace(log_dir: str, top: int = 40):
+    """Per-line EXCLUSIVE busy-time attribution.
+
+    Events on one xplane line nest (a fusion contains its sub-ops) and async
+    pairs (copy-start/copy-done) span their whole in-flight window, so naive
+    duration sums overstate wildly. Per line we sweep events in start order
+    and charge each op its self time (duration minus children), then report
+    the top ops of the busiest line — on TPU that is the TensorCore line,
+    whose busy total ~= wall step time.
+    """
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = sorted(glob.glob(os.path.join(log_dir, "**", "*.xplane.pb"),
@@ -43,33 +52,61 @@ def summarize_xspace(log_dir: str, top: int = 40):
     with open(paths[-1], "rb") as f:
         space.ParseFromString(f.read())
 
-    per_op = collections.Counter()
-    total_ps = 0
+    lines = {}      # (plane, line) -> Counter(op -> exclusive ps)
+    busy = {}       # (plane, line) -> merged-interval busy ps
     for plane in space.planes:
         name = plane.name
         if "TPU" not in name and "device" not in name.lower():
             continue
         if "host" in name.lower():
             continue
-        stats = {sid: s.name for sid, s in plane.stat_metadata.items()}
         events = plane.event_metadata
         for line in plane.lines:
-            # XLA Ops / XLA TraceMe lines carry per-op device events
+            evs = []
             for ev in line.events:
                 meta = events.get(ev.metadata_id)
-                if meta is None:
+                if meta is None or ev.duration_ps <= 0:
                     continue
-                per_op[meta.name] += ev.duration_ps
-                total_ps += ev.duration_ps
-        print(f"plane: {name}  lines: {len(plane.lines)}")
-    if not per_op:
+                evs.append((ev.offset_ps, ev.offset_ps + ev.duration_ps,
+                            meta.name))
+            if not evs:
+                continue
+            evs.sort()
+            key = (name, line.name or f"line{line.id}")
+            per_op = lines.setdefault(key, collections.Counter())
+            # exclusive time: subtract any nested child spans via a stack
+            stack = []  # (start, end, op, child_ps)
+            b = 0
+            merged_end = 0
+            for s, e, op in evs:
+                b += max(0, e - max(s, merged_end))
+                merged_end = max(merged_end, e)
+                while stack and s >= stack[-1][1]:
+                    st = stack.pop()
+                    per_op[st[2]] += (st[1] - st[0]) - st[3]
+                    if stack:
+                        stack[-1][3] += st[1] - st[0]
+                stack.append([s, e, op, 0])
+            while stack:
+                st = stack.pop()
+                per_op[st[2]] += (st[1] - st[0]) - st[3]
+                if stack:
+                    stack[-1][3] += st[1] - st[0]
+            busy[key] = b
+
+    if not lines:
         print("no device events found")
         return
-    print(f"\n{'op':70s} {'ms':>9s} {'%':>6s}")
-    for name, ps in per_op.most_common(top):
-        print(f"{name[:70]:70s} {ps / 1e9:9.2f} {100 * ps / total_ps:6.1f}")
-    print(f"{'TOTAL (summed event time; lines may overlap)':70s} "
-          f"{total_ps / 1e9:9.2f}")
+    for key in sorted(busy, key=lambda k: -busy[k]):
+        plane, line = key
+        print(f"\n== {plane} :: {line}  busy {busy[key] / 1e9:.2f} ms ==")
+        per_op = lines[key]
+        tot = sum(per_op.values())
+        if busy[key] < 1e9:        # skip near-idle lines
+            continue
+        print(f"{'op (exclusive)':70s} {'ms':>9s} {'%':>6s}")
+        for name, ps in per_op.most_common(top):
+            print(f"{name[:70]:70s} {ps / 1e9:9.2f} {100 * ps / tot:6.1f}")
 
 
 def main():

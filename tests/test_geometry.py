@@ -59,3 +59,38 @@ def test_world_grid():
     # ij-ordering: the last axis (z) varies fastest
     np.testing.assert_allclose(g[0, 0], [-1, -1, 0])
     np.testing.assert_allclose(g[0, 1], [-1, -1, 1])
+
+
+def test_homography_warp_identity():
+    """Identity proj_mat at depth 1 must reproduce the source features."""
+    import numpy as np
+    import jax.numpy as jnp
+    from neo360_tpu.core.geometry import homography_warp
+
+    rng = np.random.default_rng(0)
+    feat = jnp.asarray(rng.standard_normal((1, 6, 8, 4)), jnp.float32)
+    proj = jnp.eye(3, 4)[None]           # src == ref, zero translation
+    depths = jnp.asarray([[1.0, 2.0]])
+    out = homography_warp(feat, proj, depths)
+    assert out.shape == (1, 2, 6, 8, 4)
+    np.testing.assert_allclose(np.asarray(out[0, 0]), np.asarray(feat[0]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out[0, 1]), np.asarray(feat[0]),
+                               atol=1e-5)
+
+
+def test_homography_warp_translation():
+    """A pure x-shift in pixel space shifts the sampled features."""
+    import numpy as np
+    import jax.numpy as jnp
+    from neo360_tpu.core.geometry import homography_warp
+
+    feat = jnp.broadcast_to(jnp.arange(8.0)[None, None, :, None],
+                            (1, 2, 8, 1))
+    proj = jnp.eye(3, 4)[None].at[0, 0, 3].set(2.0)   # u' = u + 2/depth
+    depths = jnp.asarray([[1.0]])
+    out = homography_warp(feat, proj, depths)[0, 0, 0, :, 0]
+    np.testing.assert_allclose(np.asarray(out[:6]),
+                               np.arange(2.0, 8.0), atol=1e-5)
+    # out-of-bounds -> zeros padding
+    np.testing.assert_allclose(np.asarray(out[6:]), [0.0, 0.0], atol=1e-5)

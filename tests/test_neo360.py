@@ -374,3 +374,19 @@ def test_tri_pillar_matches_three_aggregators():
         want = ref.apply(ref_params, x)
         np.testing.assert_allclose(np.asarray(outs[k]), np.asarray(want),
                                    atol=1e-5)
+
+
+def test_tri_pillar_hidden_width_knob():
+    """pillar_width narrows only the aggregator hidden layer."""
+    import jax
+    import jax.numpy as jnp
+    from neo360_tpu.nn.triplane import TriPillarAggregator
+
+    tri = TriPillarAggregator(features=32, hidden_features=8)
+    latent = jnp.zeros((2, 5, 32))
+    coords = jnp.zeros((2, 5, 3))
+    tv = tri.init(jax.random.PRNGKey(0), latent, coords)
+    assert tv["params"]["hidden_lat"]["kernel"].shape == (32, 3 * 8)
+    assert tv["params"]["coord_w"].shape == (3, 8)
+    outs = tri.apply(tv, latent, coords)
+    assert all(o.shape == (2, 5, 1) for o in outs)
