@@ -59,10 +59,13 @@ def main():
         "NEO360_BENCH_ENCW", "512" if mode == "reference" else "512"))
     # pillar hidden width (NeRFTP.pillar_width); 0 = reference parity
     pillw = int(os.environ.get("NEO360_BENCH_PILLW", "0")) or None
+    # tri-plane grid resolution (reference 64^3); quality-gated fast knob
+    grid = int(os.environ.get("NEO360_BENCH_GRID", "64"))
     model = NeRFTP(compute_dtype=jnp.bfloat16 if bf16 else jnp.float32,
                    use_proposal=(mode == "proposal"),
                    num_prop_samples=64, remat_encoder=remat, lift_dim=lift,
                    encoder_width=encw, pillar_width=pillw,
+                   grid_size=(grid, grid, grid),
                    num_fine_samples=64 if mode == "proposal" else 256)
     rays = {k: batch[k] for k in ray_keys}
     variables = model.init(
@@ -86,6 +89,58 @@ def main():
             loss = (L.img2mse(out[0]["rgb"], batch["target"]) + l1
                     + neo360_distortion_loss(out))
         return loss, ({"mse": l1}, new_state["batch_stats"])
+
+    # NEO360_BENCH_PHASE=render: steady-state full-image render throughput
+    # (the eval-protocol workload: one 320x240 view = 76,800 rays, encoder
+    # run ONCE per scene, rays tiled by lax.map). The north-star render
+    # target (99 views < 60 s, BASELINE.md) needs >=126,720 rays/s here.
+    if os.environ.get("NEO360_BENCH_PHASE", "train") == "render":
+        from neo360_tpu.train import loop as tl2
+        h, w = 240, 320
+        src = {k: batch[k] for k in ("src_imgs", "src_poses", "src_focal",
+                                     "src_c")}
+        variables_f = {"params": variables["params"],
+                       "batch_stats": variables["batch_stats"]}
+        encoded = model.apply(variables_f, src["src_imgs"],
+                              src["src_poses"], src["src_focal"],
+                              src["src_c"], method=NeRFTP.encode)
+
+        # everything device-resident rides the `pack` argument: arrays closed
+        # over by the chunk fn would be embedded as HLO constants (the
+        # tri-plane tables alone are ~100 MB, which breaks remote compile)
+        def render_chunk(pack, rays):
+            rays = dict(rays, **pack["src"])
+            out = model.apply(
+                {"params": pack["params"], "batch_stats": pack["bs"]},
+                rays, False, False, out_depth=True, encoded=pack["enc"])
+            return {"rgb": out[1]["rgb"], "depth": out[1]["depth"]}
+
+        chunk = int(os.environ.get("NEO360_BENCH_RENDER_CHUNK", "8192"))
+        renderer = tl2.make_image_renderer(render_chunk, chunk)
+        pack = {"params": variables["params"],
+                "bs": variables["batch_stats"], "enc": encoded, "src": src}
+        full = _example_inputs(n_rays=h * w, hw=(h, w), seed=1)
+        rays_full = {k: full[k] for k in ("rays_o", "rays_d", "viewdirs")}
+        out = renderer(pack, rays_full)                      # compile
+        float(out["rgb"][0, 0])
+        t0 = time.time()
+        n_imgs = int(os.environ.get("NEO360_BENCH_RENDER_IMGS", "3"))
+        for _ in range(n_imgs):
+            out = renderer(pack, rays_full)
+        float(out["rgb"][0, 0])                              # host sync
+        dt = (time.time() - t0) / n_imgs
+        rays_per_sec = h * w / dt
+        # reference render baseline: 1024-ray chunks re-encoding per chunk
+        # (neo360/model.py:266-273,825-843) at ~0.3 s/chunk on A100 => ~22.5
+        # s/image => ~3,413 rays/s (documented estimate, as for training)
+        print(json.dumps({
+            "metric": "neo360_render_rays_per_sec_per_chip",
+            "value": round(float(rays_per_sec), 1),
+            "unit": "rays/s",
+            "vs_baseline": round(float(rays_per_sec) / 3413.0, 3),
+            "sec_per_image": round(dt, 3),
+        }))
+        return
 
     step = tl.make_train_step(loss_fn, opt, with_model_state=True)
     staged = tl.make_staged_trainer(step)

@@ -251,31 +251,49 @@ def make_render_fn(cfg: Config, model, variables):
         return render_fn
 
     # few-shot models: encode once per scene, then tile rays
+    # Few-shot models: encode once per scene, then tile rays. The per-scene
+    # products (encoded latents, source views) ride the renderer's `pack`
+    # argument rather than the chunk-fn closure: closed-over arrays would be
+    # embedded as HLO constants (re-jit per scene + ~100 MB program uploads);
+    # as arguments, ONE compiled renderer serves every scene.
     if cfg.exp_type == "pixelnerf":
         from neo360_tpu.models.pixelnerf import PixelNeRF
+
+        def render_chunk(pack, rays):
+            rays = dict(rays, **pack["src"])
+            out = model.apply(
+                {"params": pack["params"], "batch_stats": pack["bs"]},
+                rays, False, cfg.white_back, 0.02, 3.0,
+                latent=pack["enc"])
+            return {"rgb": out[1]["rgb"], "depth": out[1]["depth"]}
+
+        renderer = make_image_renderer(render_chunk, cfg.chunk)
 
         def render_fn(sample):
             src = {k: jnp.asarray(sample[k]) for k in
                    ("src_imgs", "src_poses", "src_focal", "src_c")}
             latent = model.apply(variables, src["src_imgs"],
                                  method=PixelNeRF.encode)
-
-            def render_chunk(params, rays):
-                rays = dict(rays, **src)
-                out = model.apply(
-                    {"params": params["params"],
-                     "batch_stats": variables["batch_stats"]},
-                    rays, False, cfg.white_back, 0.02, 3.0, latent=latent)
-                return {"rgb": out[1]["rgb"], "depth": out[1]["depth"]}
-
-            renderer = make_image_renderer(render_chunk, cfg.chunk)
+            pack = {"params": variables["params"],
+                    "bs": variables["batch_stats"], "enc": latent,
+                    "src": src}
             rays = {k: jnp.asarray(sample[k]) for k in
                     ("rays_o", "rays_d", "viewdirs")}
-            return renderer(dict(variables), rays)
+            return renderer(pack, rays)
         return render_fn
 
     if cfg.exp_type in ("neo360", "neo360_fast"):
         from neo360_tpu.models.neo360 import NeRFTP
+
+        def render_chunk(pack, rays):
+            rays = dict(rays, **pack["src"])
+            out = model.apply(
+                {"params": pack["params"], "batch_stats": pack["bs"]},
+                rays, False, cfg.white_back, out_depth=True,
+                encoded=pack["enc"])
+            return {"rgb": out[1]["rgb"], "depth": out[1]["depth"]}
+
+        renderer = make_image_renderer(render_chunk, cfg.chunk)
 
         def render_fn(sample):
             src = {k: jnp.asarray(sample[k]) for k in
@@ -283,20 +301,12 @@ def make_render_fn(cfg: Config, model, variables):
             encoded = model.apply(
                 variables, src["src_imgs"], src["src_poses"],
                 src["src_focal"], src["src_c"], method=NeRFTP.encode)
-
-            def render_chunk(params, rays):
-                rays = dict(rays, **src)
-                out = model.apply(
-                    {"params": params["params"],
-                     "batch_stats": variables["batch_stats"]},
-                    rays, False, cfg.white_back, out_depth=True,
-                    encoded=encoded)
-                return {"rgb": out[1]["rgb"], "depth": out[1]["depth"]}
-
-            renderer = make_image_renderer(render_chunk, cfg.chunk)
+            pack = {"params": variables["params"],
+                    "bs": variables["batch_stats"], "enc": encoded,
+                    "src": src}
             rays = {k: jnp.asarray(sample[k]) for k in
                     ("rays_o", "rays_d", "viewdirs")}
-            return renderer(dict(variables), rays)
+            return renderer(pack, rays)
         return render_fn
 
     raise ValueError(cfg.exp_type)

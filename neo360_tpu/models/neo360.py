@@ -272,7 +272,15 @@ class NeRFTP(nn.Module):
         if encoded is None:
             encoded = self.encode(rays["src_imgs"], rays["src_poses"],
                                   rays["src_focal"], rays["src_c"], train)
-        plane_tables, local_tables, (plane_hw, latent_hw) = encoded
+        plane_tables, local_tables, _ = encoded
+        # the map sizes are recomputed from the (static) table shapes rather
+        # than taken from encode()'s hw tuple: when `encoded` is threaded
+        # through a jit boundary as an argument (the encode-once render
+        # path), int tuple leaves arrive as traced scalars, which cannot
+        # drive reshapes. Tables are (NV, H+1, W+1, 4C).
+        plane_hw = (plane_tables[0].shape[1] - 1, plane_tables[0].shape[2] - 1)
+        lt0 = next(iter(local_tables.values()))
+        latent_hw = (lt0.shape[1] - 1, lt0.shape[2] - 1)
         nv = self.num_src_views
         h_img, w_img = rays["src_imgs"].shape[1:3]
         image_size = (w_img, h_img)

@@ -47,8 +47,11 @@ def main():
     lift = int(os.environ.get("NEO360_DRIVE_LIFT", "0")) or None
     encw = int(os.environ.get("NEO360_DRIVE_ENCW", "512"))
     pillw = int(os.environ.get("NEO360_DRIVE_PILLW", "0")) or None
+    # fixture analogue of the 64^3 production grid is 32^3; NEO360_DRIVE_GRID
+    # scales it for grid-resolution quality A/Bs (24 ~ production 48)
+    grid = int(os.environ.get("NEO360_DRIVE_GRID", "32"))
     model = NeRFTP(num_coarse_samples=32, num_fine_samples=48,
-                   grid_size=(32, 32, 32), compute_dtype=jnp.bfloat16,
+                   grid_size=(grid, grid, grid), compute_dtype=jnp.bfloat16,
                    use_proposal=proposal, num_prop_samples=32,
                    lift_dim=lift, encoder_width=encw, pillar_width=pillw)
     print("proposal mode:", proposal)
@@ -113,18 +116,22 @@ def main():
                           src["src_focal"], src["src_c"],
                           method=NeRFTP.encode)
 
-    def render_chunk(params, rays):
-        rays = dict(rays, **src)
-        out = model.apply({"params": params,
-                           "batch_stats": state.model_state},
+    # device arrays ride the pack argument (closure constants would be
+    # embedded into the HLO and re-jit per scene — see cli.make_render_fn)
+    def render_chunk(pack, rays):
+        rays = dict(rays, **pack["src"])
+        out = model.apply({"params": pack["params"],
+                           "batch_stats": pack["bs"]},
                           rays, False, False, out_depth=True,
-                          encoded=encoded)
+                          encoded=pack["enc"])
         return {"rgb": out[1]["rgb"], "depth": out[1]["depth"]}
 
     renderer = tl.make_image_renderer(render_chunk, 4096)
+    pack = {"params": state.params, "bs": state.model_state,
+            "enc": encoded, "src": src}
     rays = {k: jnp.asarray(val[k]) for k in ("rays_o", "rays_d", "viewdirs")}
     t0 = time.time()
-    out = renderer(state.params, rays)
+    out = renderer(pack, rays)
     rgb = np.asarray(out["rgb"], np.float32)
     dt = time.time() - t0
     w, h = val["img_wh"]

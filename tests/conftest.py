@@ -7,6 +7,7 @@ the reference's untestable DDP path (SURVEY §4): every multi-device test runs
 against jax.sharding over 8 virtual CPU devices.
 """
 
+import hashlib
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
@@ -17,6 +18,30 @@ import jax.extend.backend  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.extend.backend.clear_backends()
 jax.config.update("jax_num_cpu_devices", 8)
+
+# The persistent compilation cache stores XLA:CPU AOT executables whose
+# cache key does NOT include the host's CPU features. An AOT blob compiled
+# on one machine can load on another with a feature-mismatch warning
+# ("+prefer-no-scatter is not supported on the host machine ... could lead
+# to execution errors such as SIGILL") and then wedge: we observed a cached
+# NeO-360 step spinning all Eigen threads forever, blocking every later
+# device_get in the process. Scope the CPU test cache to this machine's
+# CPU-flag fingerprint so stale cross-host AOT entries can never load.
+def _cpu_cache_dir():
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((l for l in f if l.startswith("flags")), "")
+    except OSError:
+        flags = ""
+    tag = hashlib.sha1(flags.encode()).hexdigest()[:10]
+    base = os.environ.get("NEO360_TEST_CACHE_BASE",
+                          os.path.expanduser("~/jax_cache_cpu"))
+    path = f"{base}_{tag}"
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+jax.config.update("jax_compilation_cache_dir", _cpu_cache_dir())
 
 import pytest  # noqa: E402
 
