@@ -59,13 +59,21 @@ def main():
         "NEO360_BENCH_ENCW", "512" if mode == "reference" else "512"))
     # pillar hidden width (NeRFTP.pillar_width); 0 = reference parity
     pillw = int(os.environ.get("NEO360_BENCH_PILLW", "0")) or None
-    # tri-plane grid resolution (reference 64^3); quality-gated fast knob
-    grid = int(os.environ.get("NEO360_BENCH_GRID", "64"))
+    # tri-plane grid resolution (reference 64^3); quality-gated fast knob.
+    # Accepts "gx,gy,gz". Proposal default = the ADOPTED anisotropic
+    # (64,64,32): halving z costs no fixture PSNR (BASELINE.md 2026-08-18,
+    # 26.59 vs 25.53 control) and halves grid points.
+    default_grid = "64" if mode == "reference" else "64,64,32"
+    g = [int(v) for v in os.environ.get(
+        "NEO360_BENCH_GRID", default_grid).split(",")]
+    grid = tuple(g * 3 if len(g) == 1 else g)
+    # DepthPillarEncoder hidden layers (2 = reference parity)
+    depthl = int(os.environ.get("NEO360_BENCH_DEPTHL", "2"))
     model = NeRFTP(compute_dtype=jnp.bfloat16 if bf16 else jnp.float32,
                    use_proposal=(mode == "proposal"),
                    num_prop_samples=64, remat_encoder=remat, lift_dim=lift,
                    encoder_width=encw, pillar_width=pillw,
-                   grid_size=(grid, grid, grid),
+                   grid_size=grid, depth_fc_layers=depthl,
                    num_fine_samples=64 if mode == "proposal" else 256)
     rays = {k: batch[k] for k in ray_keys}
     variables = model.init(

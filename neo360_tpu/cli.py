@@ -90,9 +90,14 @@ def build_model(cfg: Config):
         return NeRFTP(num_src_views=cfg.num_src_views, compute_dtype=dtype)
     if cfg.exp_type == "neo360_fast":
         from neo360_tpu.models.neo360 import NeRFTP
+        # grid (64,64,32): quality-gated anisotropic cut — halving the z
+        # axis of the 64^3 reference grid costs no held-out PSNR on the
+        # fixture A/B (outdoor scenes are height-thin; BASELINE.md
+        # 2026-08-18) and halves encoder gather/scatter/MLP work.
         return NeRFTP(num_src_views=cfg.num_src_views, compute_dtype=dtype,
                       use_proposal=True, num_prop_samples=64,
-                      num_fine_samples=64, lift_dim=cfg.lift_dim)
+                      num_fine_samples=64, lift_dim=cfg.lift_dim,
+                      grid_size=(64, 64, 32))
     raise ValueError(cfg.exp_type)
 
 

@@ -176,6 +176,10 @@ class NeRFTP(nn.Module):
     # pillar hidden layer is ~57% of encoder MACs for three scalar logits
     # per cell. None = encoder_width (reference parity).
     pillar_width: Any = None
+    # DepthPillarEncoder hidden relu layers (GridEncoder.depth_fc_layers);
+    # 2 = reference parity, 1 is a quality-gated fast knob (~1/3 of the
+    # 786k-point depth_fc cost).
+    depth_fc_layers: int = 2
 
     def setup(self):
         # nn.remat: the encoder's 64^3-grid activations are recomputed in the
@@ -187,6 +191,7 @@ class NeRFTP(nn.Module):
                                lift_dim=self.lift_dim,
                                latent_size=self.encoder_width,
                                pillar_width=self.pillar_width,
+                               depth_fc_layers=self.depth_fc_layers,
                                name="encoder")
         if self.use_proposal:
             self.fg_prop_mlp = PropMLP(dtype=self.compute_dtype,

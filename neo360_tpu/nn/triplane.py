@@ -47,18 +47,25 @@ def _bias_init(key, shape, dtype=jnp.float32):
 
 
 class DepthPillarEncoder(nn.Module):
-    """[feat, cam-xyz, dir] -> latent (reference :263-279)."""
+    """[feat, cam-xyz, dir] -> latent (reference :263-279).
+
+    hidden_layers: relu hidden layers before the final projection
+    (reference = 2). This MLP runs on every one of the NV*64^3 grid cells —
+    ~32% of the NeO-360 train step (BASELINE.md xplane attribution) — so
+    hidden_layers=1 is a quality-gated fast-preset knob.
+    """
 
     features: int = 512
     dtype: Any = jnp.float32
+    hidden_layers: int = 2
 
     @nn.compact
     def __call__(self, x):
         dense = lambda w, name: nn.Dense(
             w, kernel_init=_KAIMING_N, bias_init=_bias_init,
             dtype=self.dtype, name=name)
-        x = nn.relu(dense(self.features, "fc0")(x))
-        x = nn.relu(dense(self.features, "fc1")(x))
+        for i in range(self.hidden_layers):
+            x = nn.relu(dense(self.features, f"fc{i}")(x))
         return dense(self.features, "depth")(x)
 
 
@@ -167,6 +174,8 @@ class GridEncoder(nn.Module):
     lift_dim: int | None = None
     # TriPillarAggregator hidden width; None = latent_size (reference 512)
     pillar_width: int | None = None
+    # DepthPillarEncoder hidden layers; 2 = reference parity
+    depth_fc_layers: int = 2
 
     def setup(self):
         self.spatial_encoder = SpatialEncoder(dtype=self.dtype,
@@ -176,6 +185,7 @@ class GridEncoder(nn.Module):
                 self.lift_dim, use_bias=False, kernel_init=_KAIMING_N,
                 dtype=self.dtype, name="lift_proj")
         self.depth_fc = DepthPillarEncoder(self.latent_size, self.dtype,
+                                           hidden_layers=self.depth_fc_layers,
                                            name="depth_fc")
         self.tri_pillar = TriPillarAggregator(self.latent_size, self.dtype,
                                               hidden_features=self.pillar_width,

@@ -48,12 +48,17 @@ def main():
     encw = int(os.environ.get("NEO360_DRIVE_ENCW", "512"))
     pillw = int(os.environ.get("NEO360_DRIVE_PILLW", "0")) or None
     # fixture analogue of the 64^3 production grid is 32^3; NEO360_DRIVE_GRID
-    # scales it for grid-resolution quality A/Bs (24 ~ production 48)
-    grid = int(os.environ.get("NEO360_DRIVE_GRID", "32"))
+    # scales it for grid-resolution quality A/Bs (24 ~ production 48).
+    # Accepts "gx,gy,gz" for anisotropic grids (e.g. "32,32,16").
+    grid_s = os.environ.get("NEO360_DRIVE_GRID", "32")
+    g = [int(v) for v in grid_s.split(",")]
+    grid = tuple(g * 3 if len(g) == 1 else g)
+    depthl = int(os.environ.get("NEO360_DRIVE_DEPTHL", "2"))
     model = NeRFTP(num_coarse_samples=32, num_fine_samples=48,
-                   grid_size=(grid, grid, grid), compute_dtype=jnp.bfloat16,
+                   grid_size=grid, compute_dtype=jnp.bfloat16,
                    use_proposal=proposal, num_prop_samples=32,
-                   lift_dim=lift, encoder_width=encw, pillar_width=pillw)
+                   lift_dim=lift, encoder_width=encw, pillar_width=pillw,
+                   depth_fc_layers=depthl)
     print("proposal mode:", proposal)
 
     rng = np.random.default_rng(0)

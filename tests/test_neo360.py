@@ -390,3 +390,24 @@ def test_tri_pillar_hidden_width_knob():
     assert tv["params"]["coord_w"].shape == (3, 8)
     outs = tri.apply(tv, latent, coords)
     assert all(o.shape == (2, 5, 1) for o in outs)
+
+
+def test_depth_fc_layers_knob(multi_scene_root):
+    """depth_fc_layers=1 drops fc1 from DepthPillarEncoder; anisotropic
+    grid_size threads through the encoder end-to-end."""
+    import jax
+    from neo360_tpu.models.neo360 import NeRFTP
+
+    model = NeRFTP(num_coarse_samples=4, num_fine_samples=4,
+                   grid_size=(8, 8, 4), encoder_width=64, lift_dim=32,
+                   depth_fc_layers=1, use_proposal=True, num_prop_samples=4)
+    _, batch = _batch(multi_scene_root)
+    rays = {k: batch[k] for k in ("rays_o", "rays_d", "viewdirs", "src_imgs",
+                                  "src_poses", "src_focal", "src_c")}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        rays, False, False)
+    dfc = variables["params"]["encoder"]["depth_fc"]
+    assert "fc0" in dfc and "depth" in dfc and "fc1" not in dfc
+    out = model.apply(variables, rays, False, False)
+    assert out[-1]["rgb"].shape == rays["rays_o"].shape
