@@ -69,11 +69,15 @@ def main():
     grid = tuple(g * 3 if len(g) == 1 else g)
     # DepthPillarEncoder hidden layers (2 = reference parity)
     depthl = int(os.environ.get("NEO360_BENCH_DEPTHL", "2"))
+    # tri-plane / local-latent widths (128/128 = reference parity)
+    planed = int(os.environ.get("NEO360_BENCH_PLANED", "128"))
+    locald = int(os.environ.get("NEO360_BENCH_LOCALD", "128"))
     model = NeRFTP(compute_dtype=jnp.bfloat16 if bf16 else jnp.float32,
                    use_proposal=(mode == "proposal"),
                    num_prop_samples=64, remat_encoder=remat, lift_dim=lift,
                    encoder_width=encw, pillar_width=pillw,
                    grid_size=grid, depth_fc_layers=depthl,
+                   plane_dim=planed, local_proj_dim=locald,
                    num_fine_samples=64 if mode == "proposal" else 256)
     rays = {k: batch[k] for k in ray_keys}
     variables = model.init(

@@ -180,6 +180,11 @@ class NeRFTP(nn.Module):
     # 2 = reference parity, 1 is a quality-gated fast knob (~1/3 of the
     # 786k-point depth_fc cost).
     depth_fc_layers: int = 2
+    # tri-plane channels (GridEncoder.plane_dim / FloorplanConvNet conv4);
+    # 128 = reference parity. The fine-level plane-table gathers and their
+    # backward scatters (the largest post-encoder block of the train step)
+    # scale linearly in this width.
+    plane_dim: int = 128
 
     def setup(self):
         # nn.remat: the encoder's 64^3-grid activations are recomputed in the
@@ -192,6 +197,7 @@ class NeRFTP(nn.Module):
                                latent_size=self.encoder_width,
                                pillar_width=self.pillar_width,
                                depth_fc_layers=self.depth_fc_layers,
+                               plane_dim=self.plane_dim,
                                name="encoder")
         if self.use_proposal:
             self.fg_prop_mlp = PropMLP(dtype=self.compute_dtype,

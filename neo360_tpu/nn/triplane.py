@@ -131,10 +131,18 @@ class TriPillarAggregator(nn.Module):
 
 
 class FloorplanConvNet(nn.Module):
-    """512-ch floorplan -> 128-ch plane at plane_hw (:375-397)."""
+    """512-ch floorplan -> plane_dim-ch plane at plane_hw (:375-397).
+
+    plane_dim: output channels of the final conv (reference 128). The plane
+    latents are point-indexed per (ray sample, view, plane) — the fine-level
+    table gathers and their backward scatters scale linearly in this width
+    and are the largest block of the NeO-360 train step after the encoder
+    (BASELINE.md xplane attribution), so 64 is a quality-gated fast knob.
+    """
 
     plane_hw: Tuple[int, int] = (120, 160)
     dtype: Any = jnp.float32
+    plane_dim: int = 128
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -152,7 +160,7 @@ class FloorplanConvNet(nn.Module):
             x, (x.shape[-3] * 2, x.shape[-2] * 2))
         x = nn.relu(norm("bn3")(conv(128, 1, "conv3")(x)))
         x = resize_bilinear_align_corners(x, self.plane_hw)
-        return conv(128, 1, "conv4")(x)
+        return conv(self.plane_dim, 1, "conv4")(x)
 
 
 class GridEncoder(nn.Module):
@@ -176,6 +184,9 @@ class GridEncoder(nn.Module):
     pillar_width: int | None = None
     # DepthPillarEncoder hidden layers; 2 = reference parity
     depth_fc_layers: int = 2
+    # output channels of the tri-planes (FloorplanConvNet.plane_dim);
+    # 128 = reference parity
+    plane_dim: int = 128
 
     def setup(self):
         self.spatial_encoder = SpatialEncoder(dtype=self.dtype,
@@ -191,10 +202,13 @@ class GridEncoder(nn.Module):
                                               hidden_features=self.pillar_width,
                                               name="tri_pillar")
         self.floorplan_yz = FloorplanConvNet(self.plane_hw, self.dtype,
+                                             self.plane_dim,
                                              name="floorplan_yz")
         self.floorplan_xz = FloorplanConvNet(self.plane_hw, self.dtype,
+                                             self.plane_dim,
                                              name="floorplan_xz")
         self.floorplan_xy = FloorplanConvNet(self.plane_hw, self.dtype,
+                                             self.plane_dim,
                                              name="floorplan_xy")
 
     def __call__(self, images: jnp.ndarray, poses: jnp.ndarray,

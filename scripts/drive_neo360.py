@@ -54,11 +54,14 @@ def main():
     g = [int(v) for v in grid_s.split(",")]
     grid = tuple(g * 3 if len(g) == 1 else g)
     depthl = int(os.environ.get("NEO360_DRIVE_DEPTHL", "2"))
+    planed = int(os.environ.get("NEO360_DRIVE_PLANED", "128"))
+    locald = int(os.environ.get("NEO360_DRIVE_LOCALD", "128"))
     model = NeRFTP(num_coarse_samples=32, num_fine_samples=48,
                    grid_size=grid, compute_dtype=jnp.bfloat16,
                    use_proposal=proposal, num_prop_samples=32,
                    lift_dim=lift, encoder_width=encw, pillar_width=pillw,
-                   depth_fc_layers=depthl)
+                   depth_fc_layers=depthl, plane_dim=planed,
+                   local_proj_dim=locald)
     print("proposal mode:", proposal)
 
     rng = np.random.default_rng(0)

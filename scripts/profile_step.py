@@ -117,9 +117,12 @@ def main():
 
     batch = _example_inputs(n_rays=n_rays, hw=(240, 320), seed=0)
     batches = make_batches(batch)
+    g = [int(v) for v in os.environ.get(
+        "NEO360_PROF_GRID", "64,64,32").split(",")]
+    grid = tuple(g * 3 if len(g) == 1 else g)
     model = NeRFTP(compute_dtype=jnp.bfloat16,
                    use_proposal=(mode == "proposal"), num_prop_samples=64,
-                   remat_encoder=False, lift_dim=128,
+                   remat_encoder=False, lift_dim=128, grid_size=grid,
                    num_fine_samples=64 if mode == "proposal" else 256)
     step, state = full_step(model, batch, mode=mode)
     staged = tl.make_staged_trainer(step)
