@@ -127,7 +127,11 @@ def main():
                 rays, False, False, out_depth=True, encoded=pack["enc"])
             return {"rgb": out[1]["rgb"], "depth": out[1]["depth"]}
 
-        chunk = int(os.environ.get("NEO360_BENCH_RENDER_CHUNK", "8192"))
+        # 512-ray tiles measured fastest by a wide margin (67.4k rays/s vs
+        # 36.2k at 8192): per-tile conditioned-point intermediates
+        # (~512x65x3 points x 128ch) stay VMEM-resident instead of spilling
+        # to HBM between fusions; the knee is at 512 (256 ties, 1024 -36%).
+        chunk = int(os.environ.get("NEO360_BENCH_RENDER_CHUNK", "512"))
         renderer = tl2.make_image_renderer(render_chunk, chunk)
         pack = {"params": variables["params"],
                 "bs": variables["batch_stats"], "enc": encoded, "src": src}

@@ -36,8 +36,11 @@ def parse_args(argv=None) -> Config:
     p.add_argument("--white_back", action="store_true")
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--ray_batch_size", type=int, default=500)
-    p.add_argument("--chunk", type=int, default=4096)
-    p.add_argument("--num_src_views", type=int, default=3)
+    # render tile size: 512 measured ~1.9x faster than 4096+ on v5e (tile
+    # intermediates stay VMEM-resident, BASELINE.md 2026-08-18); the
+    # reference's --chunk default was 1024 (opt.py:195-200)
+    p.add_argument("--chunk", type=int, default=512)
+    p.add_argument("--num_src_views", type=int, default=None)
     p.add_argument("--run_max_steps", type=int, default=100000)
     p.add_argument("--lr_init", type=float, default=None)
     p.add_argument("--eval_mode", choices=["full_eval", "vis_only"],
@@ -55,6 +58,12 @@ def parse_args(argv=None) -> Config:
     p.add_argument("--bf16", action="store_true",
                    help="bf16 compute in encoders/MLPs (params stay f32)")
     a = p.parse_args(argv)
+
+    # reference parity: the source-view count rides the render_name's
+    # leading digit ("3views..."/"5views..."; neo360/model.py:606-616) when
+    # --num_src_views is not given explicitly.
+    if a.num_src_views is None and a.render_name[:1].isdigit():
+        a.num_src_views = int(a.render_name[0])
 
     overrides = {k: v for k, v in vars(a).items()
                  if v is not None and k not in ("exp_type", "batch_size",

@@ -32,7 +32,8 @@ class Config:
     # sampling / rendering
     batch_size: int = 1024                 # rays per step (vanilla/mip)
     ray_batch_size: int = 500              # rays per AE sample (few-shot)
-    chunk: int = 4096                      # eval rays per tile
+    chunk: int = 512                       # eval rays per tile (VMEM knee,
+                                           # BASELINE.md 2026-08-18)
     num_src_views: int = 3
     lift_dim: Optional[int] = None         # grid-lift row width (neo360_fast
                                            # preset: 128; None = reference)

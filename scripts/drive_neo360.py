@@ -134,7 +134,7 @@ def main():
                           encoded=pack["enc"])
         return {"rgb": out[1]["rgb"], "depth": out[1]["depth"]}
 
-    renderer = tl.make_image_renderer(render_chunk, 4096)
+    renderer = tl.make_image_renderer(render_chunk, 512)
     pack = {"params": state.params, "bs": state.model_state,
             "enc": encoded, "src": src}
     rays = {k: jnp.asarray(val[k]) for k in ("rays_o", "rays_d", "viewdirs")}

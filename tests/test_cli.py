@@ -137,3 +137,16 @@ def test_eval_helpers():
     assert not np.allclose(traj[0], traj[1])
     # rotation untouched
     np.testing.assert_allclose(traj[3][:3, :3], np.eye(3))
+
+
+def test_num_src_views_from_render_name(tmp_path):
+    """Reference parity: '5views...' render_name sets num_src_views=5 when
+    the flag is absent (neo360/model.py:606-616); explicit flag wins."""
+    base = ["--exp_type", "neo360", "--root_dir", str(tmp_path)]
+    cfg = cli.parse_args(base + ["--render_name", "5views_lpips"])
+    assert cfg.num_src_views == 5
+    cfg = cli.parse_args(base)                       # default name "3views"
+    assert cfg.num_src_views == 3
+    cfg = cli.parse_args(base + ["--render_name", "5views",
+                                 "--num_src_views", "3"])
+    assert cfg.num_src_views == 3
