@@ -247,29 +247,50 @@ class NeRFTP(nn.Module):
         plane_tables = tuple(
             build_corner_table(p, "zeros", dtype=table_dtype) for p in planes)
         plane_hw = planes[0].shape[1:3]
-        local_tables = {
-            name: build_corner_table(proj(pixel_latent), "border",
-                                     dtype=table_dtype)
-            for name, proj in self.local_projs.items()}
+        # fg/bg branch pairs share one stacked table (fg rows = views [:NV],
+        # bg rows = views [NV:]): the fine level then samples local latents
+        # with ONE row-gather (and ONE backward scatter-add) per level instead
+        # of two — the scatter pays the table read+write once. Values are
+        # bitwise those of two separate per-branch tables.
+        pairs = (("f", ("fg_f", "bg_f")),) if self.use_proposal else (
+            ("c", ("fg_c", "bg_c")), ("f", ("fg_f", "bg_f")))
+        local_tables = {}
+        for name, (kf, kb) in pairs:
+            stacked = jnp.concatenate(
+                [self.local_projs[kf](pixel_latent),
+                 self.local_projs[kb](pixel_latent)], axis=0)
+            local_tables[name] = build_corner_table(stacked, "border",
+                                                    dtype=table_dtype)
         latent_hw = pixel_latent.shape[1:3]
         return plane_tables, local_tables, (plane_hw, latent_hw)
 
-    def _local_feats(self, samples, poses, focal, c, local_table,
-                     latent_hw, image_size):
-        """Pixel-aligned projected latents (reference model.py:239-264).
-        samples (B*S, 3) world -> (NV, B*S, local_proj_dim), border padding,
-        via the branch's corner table (parity with index_latent — the uv
-        normalization is latent_scaling/image_size, resnet.py:107-129)."""
-        flat = samples.reshape(1, -1, 3)
-        cam = geometry.world2camera(flat, poses, ns=self.num_src_views)
+    def _local_feats_pair(self, fg_samples, bg_samples, poses, focal, c,
+                          stacked_table, latent_hw, image_size):
+        """Pixel-aligned projected latents for the fg AND bg branches in one
+        gather (reference model.py:239-264 ran the equivalent twice).
+
+        fg_samples/bg_samples: (B, S, 3) world points with equal S. The
+        stacked table holds the fg branch's projected latent map at view rows
+        [:NV] and the bg branch's at [NV:] (see `encode`), so concatenating
+        the two uv sets along the view axis turns the two samplings into one
+        table_sample — one backward scatter-add instead of two. Border
+        padding; uv normalization is latent_scaling/image_size
+        (resnet.py:107-129). Returns (fg latent, bg latent, fg cam points),
+        each latent (NV, B*S, local_proj_dim)."""
+        nv = self.num_src_views
+        fg_cam = geometry.world2camera(fg_samples.reshape(1, -1, 3),
+                                       poses, ns=nv)
+        bg_cam = geometry.world2camera(bg_samples.reshape(1, -1, 3),
+                                       poses, ns=nv)
         focal2 = jnp.stack([focal[0], -focal[0]])[None]
-        uv = geometry.projection(cam, focal2, c[:1], self.num_src_views)
+        uv_fg = geometry.projection(fg_cam, focal2, c[:1], nv)
+        uv_bg = geometry.projection(bg_cam, focal2, c[:1], nv)
         scale = latent_scaling(latent_hw) / jnp.asarray(
             image_size, dtype=jnp.float32)
-        uv_norm = uv * scale - 1.0
-        latent = table_sample(local_table, uv_norm, latent_hw,
+        uv = jnp.concatenate([uv_fg, uv_bg], axis=0) * scale - 1.0
+        latent = table_sample(stacked_table, uv, latent_hw,
                               padding_mode="border")
-        return latent, cam
+        return latent[:nv], latent[nv:], fg_cam
 
     def __call__(self, rays: Dict[str, jnp.ndarray], randomized: bool,
                  white_bkgd: bool, out_depth: bool = False,
@@ -362,20 +383,26 @@ class NeRFTP(nn.Module):
                 fg_rgb = jnp.zeros(fg_sigma.shape[:-1] + (3,))
                 bg_rgb = jnp.zeros(bg_sigma.shape[:-1] + (3,))
             else:
-                world_fg = index_grid_tables(fg_samples, plane_tables,
-                                             plane_hw, poses, nv)
-                world_bg = index_grid_tables(bg_linear, plane_tables,
-                                             plane_hw, poses, nv)
-                fg_tab = local_tables["fg_f" if (self.use_proposal
-                                                 or i_level > 0) else "fg_c"]
-                bg_tab = local_tables["bg_f" if (self.use_proposal
-                                                 or i_level > 0) else "bg_c"]
-                local_fg, fg_cam = self._local_feats(
-                    fg_samples, poses, rays["src_focal"], rays["src_c"],
-                    fg_tab, latent_hw, image_size)
-                local_bg, _ = self._local_feats(
-                    bg_linear[..., :3], poses, rays["src_focal"],
-                    rays["src_c"], bg_tab, latent_hw, image_size)
+                # fg+bg merged feature indexing: one tri-plane gather over
+                # the concatenated point set and one local gather from the
+                # stacked branch table — halves the number of backward
+                # scatter-adds, each of which pays a full table read+write
+                # regardless of index count. fg and bg sample counts are
+                # equal in every preset (reference neo360/model.py:169-171),
+                # which the batch-axis concat/split relies on.
+                bg_pts = bg_linear[..., :3]
+                assert fg_samples.shape == bg_pts.shape, (
+                    "fg/bg sample shapes must match for merged indexing")
+                both = jnp.concatenate([fg_samples, bg_pts], axis=0)
+                world = index_grid_tables(both, plane_tables, plane_hw,
+                                          poses, nv)
+                n_half = b * s_fg
+                world_fg, world_bg = world[:, :n_half], world[:, n_half:]
+                tab = local_tables["f" if (self.use_proposal
+                                           or i_level > 0) else "c"]
+                local_fg, local_bg, fg_cam = self._local_feats_pair(
+                    fg_samples, bg_pts, poses, rays["src_focal"],
+                    rays["src_c"], tab, latent_hw, image_size)
 
                 bg_cam = geometry.world2camera(
                     bg_samples[..., :3].reshape(1, -1, 3), poses, ns=nv)

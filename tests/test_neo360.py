@@ -201,6 +201,45 @@ def test_index_grid_tables_matches(multi_scene_root):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_merged_fg_bg_gather_identity(multi_scene_root):
+    """The fine level's merged fg+bg indexing (one tri-plane gather over
+    concatenated points; one local gather from a view-stacked branch table)
+    must be bitwise the two separate per-branch gathers it replaced."""
+    from neo360_tpu.nn.triplane import index_grid_tables
+    from neo360_tpu.ops.interpolate import build_corner_table, table_sample
+    _, batch = _batch(multi_scene_root)
+    rng = np.random.default_rng(2)
+    planes = tuple(jnp.asarray(rng.normal(size=(3, 8, 10, 16)), jnp.float32)
+                   for _ in range(3))
+    tables = tuple(build_corner_table(p, "zeros") for p in planes)
+    fg = jnp.asarray(rng.uniform(-0.9, 0.9, size=(4, 5, 3)), jnp.float32)
+    bg = jnp.asarray(rng.uniform(-0.9, 0.9, size=(4, 5, 3)), jnp.float32)
+    poses = batch["src_poses"]
+    merged = index_grid_tables(jnp.concatenate([fg, bg], axis=0), tables,
+                               (8, 10), poses, 3)
+    ref_fg = index_grid_tables(fg, tables, (8, 10), poses, 3)
+    ref_bg = index_grid_tables(bg, tables, (8, 10), poses, 3)
+    np.testing.assert_array_equal(np.asarray(merged[:, :20]),
+                                  np.asarray(ref_fg))
+    np.testing.assert_array_equal(np.asarray(merged[:, 20:]),
+                                  np.asarray(ref_bg))
+    # local: stacked (2NV) table + concatenated uv == per-branch sampling
+    m_fg = jnp.asarray(rng.normal(size=(3, 8, 10, 16)), jnp.float32)
+    m_bg = jnp.asarray(rng.normal(size=(3, 8, 10, 16)), jnp.float32)
+    t_stack = build_corner_table(jnp.concatenate([m_fg, m_bg], axis=0),
+                                 "border")
+    uv_fg = jnp.asarray(rng.uniform(-1.2, 1.2, size=(3, 20, 2)), jnp.float32)
+    uv_bg = jnp.asarray(rng.uniform(-1.2, 1.2, size=(3, 20, 2)), jnp.float32)
+    lat = table_sample(t_stack, jnp.concatenate([uv_fg, uv_bg], axis=0),
+                       (8, 10), padding_mode="border")
+    ref_lfg = table_sample(build_corner_table(m_fg, "border"), uv_fg,
+                           (8, 10), padding_mode="border")
+    ref_lbg = table_sample(build_corner_table(m_bg, "border"), uv_bg,
+                           (8, 10), padding_mode="border")
+    np.testing.assert_array_equal(np.asarray(lat[:3]), np.asarray(ref_lfg))
+    np.testing.assert_array_equal(np.asarray(lat[3:]), np.asarray(ref_lbg))
+
+
 def test_neo360_proposal_forward_and_loss(multi_scene_root):
     from neo360_tpu.models.neo360 import (neo360_distortion_loss,
                                           neo360_interlevel_loss)
