@@ -22,10 +22,31 @@ import numpy as np
 REFERENCE_RAYS_PER_SEC_A100 = 1667.0  # documented estimate, see docstring
 
 
+def _stamp(msg, _t0=[None]):
+    import sys
+    if _t0[0] is None:
+        _t0[0] = time.time()
+    print(f"[bench +{time.time() - _t0[0]:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
 def main():
     import jax
     import jax.numpy as jnp
     import optax
+
+    # Persistent compilation cache: the staged NeO-360 trainer is a large
+    # program (remote compile can take minutes cold); warm runs load the
+    # serialized executable instead.
+    import os as _os
+    cache_dir = _os.environ.get("NEO360_JAX_CACHE", "/root/repo/.jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+    _stamp("start")
 
     from neo360_tpu.models.neo360 import NeRFTP, neo360_distortion_loss
     from neo360_tpu.ops import losses as L
@@ -83,6 +104,7 @@ def main():
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
         rays, True, False, train=False)
+    _stamp("model.init done")
     opt = optax.chain(optax.clip_by_global_norm(0.05), optax.adam(5e-4))
 
     from neo360_tpu.models.neo360 import neo360_interlevel_loss
@@ -166,7 +188,7 @@ def main():
     # K distinct staged batches per dispatch; timing is synced by fetching
     # the final metric to the host (block_until_ready alone does not wait
     # for remote execution under the axon tunnel).
-    n_steps = 32
+    n_steps = int(os.environ.get("NEO360_BENCH_STEPS", "32"))
     rng = np.random.default_rng(1)
     batches = {
         k: jnp.stack([v + (rng.standard_normal(v.shape) * 1e-4
@@ -175,9 +197,11 @@ def main():
                       for _ in range(n_steps)])
         for k, v in batch.items()}
 
+    _stamp("staged batches built; compiling staged trainer")
     key = jax.random.PRNGKey(7)
     state, m = staged(state, batches, key)      # compile
     float(m["mse"])
+    _stamp("staged trainer compiled + warm step done")
 
     t0 = time.time()
     state, m = staged(state, batches, jax.random.fold_in(key, 1))
