@@ -180,11 +180,6 @@ def main():
         }))
         return
 
-    step = tl.make_train_step(loss_fn, opt, with_model_state=True)
-    staged = tl.make_staged_trainer(step)
-    state = tl.create_train_state(variables["params"], opt,
-                                  variables["batch_stats"])
-
     # K distinct staged batches per dispatch; timing is synced by fetching
     # the final metric to the host (block_until_ready alone does not wait
     # for remote execution under the axon tunnel).
@@ -197,16 +192,49 @@ def main():
                       for _ in range(n_steps)])
         for k, v in batch.items()}
 
-    _stamp("staged batches built; compiling staged trainer")
+    # NEO360_BENCH_STAGE=K: scene-stage (encode-once) trainer — the encoder
+    # runs once per K consecutive steps on one scene (the production
+    # neo360_fast path when quality-gated; train/loop.py
+    # make_scene_stage_trainer). 0 = per-step encoding.
+    stage_k = int(os.environ.get("NEO360_BENCH_STAGE", "0"))
     key = jax.random.PRNGKey(7)
-    state, m = staged(state, batches, key)      # compile
-    float(m["mse"])
-    _stamp("staged trainer compiled + warm step done")
-
-    t0 = time.time()
-    state, m = staged(state, batches, jax.random.fold_in(key, 1))
-    float(m["mse"])                              # host sync
-    dt = time.time() - t0
+    if stage_k:
+        from neo360_tpu.models.neo360 import SRC_KEYS, make_scene_stage_fns
+        assert n_steps % stage_k == 0
+        n_stages = n_steps // stage_k
+        encode_fn, stage_loss = make_scene_stage_fns(model)
+        enc_opt = optax.chain(optax.clip_by_global_norm(0.05),
+                              optax.adam(5e-4))
+        ray_opt = optax.chain(optax.clip_by_global_norm(0.05),
+                              optax.adam(5e-4))
+        runner = tl.make_scene_stage_trainer(
+            encode_fn, stage_loss, enc_opt, ray_opt, multi_stage=True)
+        state = tl.create_scene_stage_state(
+            variables["params"], enc_opt, ray_opt, variables["batch_stats"])
+        srcs = {k: jnp.stack([batch[k]] * n_stages) for k in SRC_KEYS}
+        rbs = {k: batches[k].reshape((n_stages, stage_k) + batch[k].shape)
+               for k in ("rays_o", "rays_d", "viewdirs", "target")}
+        _stamp(f"compiling scene-stage trainer (K={stage_k})")
+        state, m = runner(state, srcs, rbs, key)              # compile
+        float(m["mse"])
+        _stamp("scene-stage trainer compiled + warm dispatch done")
+        t0 = time.time()
+        state, m = runner(state, srcs, rbs, jax.random.fold_in(key, 1))
+        float(m["mse"])                                        # host sync
+        dt = time.time() - t0
+    else:
+        step = tl.make_train_step(loss_fn, opt, with_model_state=True)
+        staged = tl.make_staged_trainer(step)
+        state = tl.create_train_state(variables["params"], opt,
+                                      variables["batch_stats"])
+        _stamp("staged batches built; compiling staged trainer")
+        state, m = staged(state, batches, key)      # compile
+        float(m["mse"])
+        _stamp("staged trainer compiled + warm step done")
+        t0 = time.time()
+        state, m = staged(state, batches, jax.random.fold_in(key, 1))
+        float(m["mse"])                              # host sync
+        dt = time.time() - t0
 
     rays_per_sec = n_steps * n_rays / dt
     print(json.dumps({

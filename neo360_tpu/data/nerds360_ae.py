@@ -302,6 +302,73 @@ class NeRDS360AE:
             "train"))
         return sample
 
+    def _stage_for_scene(self, rng, meta, k_steps: int, n_rays: int):
+        """(source-stack sample, k_steps stacked ray dicts) for one scene —
+        the per-scene core of sample_train_stage."""
+        w, h = self.img_wh
+        n_train = len(meta.c2w_train)
+        if self.optimize:
+            src = (SRC_VIEWS_3 if self.num_src_views == 3
+                   else SRC_VIEWS_5_OPTIMIZE if self.num_src_views == 5
+                   else SRC_VIEWS_3[:1])
+            dest_pool = np.asarray(src)
+        else:
+            src = rng.choice(n_train, self.num_src_views, replace=False)
+            dest_pool = np.setdiff1d(np.arange(n_train), src)
+        sample = self._source_stack(meta, list(src))
+        n_dest = min(self.dest_views_per_sample, len(dest_pool))
+        rays = []
+        for _ in range(k_steps):
+            dest = rng.choice(dest_pool, n_dest, replace=False)
+            view_ids = dest[rng.integers(0, n_dest, n_rays)]
+            xs = rng.integers(0, w, n_rays)
+            ys = rng.integers(0, h, n_rays)
+            rays.append(self._dest_rays(meta, view_ids, xs, ys,
+                                        meta.c2w_train,
+                                        meta.img_files_train, "train"))
+        stacked = {k: np.stack([r[k] for r in rays]) for k in rays[0]}
+        return sample, stacked
+
+    def sample_train_stage(self, rng: np.random.Generator, k_steps: int,
+                           n_scenes: int = 1) -> Dict[str, np.ndarray]:
+        """A scene-stage sample for the encode-once trainer (train/loop.py
+        make_scene_stage_trainer): `n_scenes` scenes' source stacks shared by
+        `k_steps` consecutive optimizer steps, plus independent ray batches
+        (each drawn exactly like sample_train's dest-view subsample).
+
+        n_scenes == 1: source arrays (NV, ...), ray arrays
+        (k_steps, ray_batch_size, ...).
+
+        n_scenes > 1 (the SCENE-MIXED stage): distinct scenes; source arrays
+        (S, NV, ...), ray arrays (k_steps, S, ray_batch_size // S, ...) —
+        every step's gradient mixes all S scenes, keeping per-step scene
+        diversity while the encoder runs once per stage per scene."""
+        n_avail = len(self.scene_ids)
+        if n_scenes == 1:
+            meta = self.scene_meta(self.scene_ids[rng.integers(n_avail)])
+            sample, stacked = self._stage_for_scene(
+                rng, meta, k_steps, self.ray_batch_size)
+            sample.update(stacked)
+            return sample
+        if n_scenes > n_avail:
+            raise ValueError(f"n_scenes {n_scenes} > {n_avail} scenes")
+        if self.ray_batch_size % n_scenes:
+            raise ValueError(f"ray_batch_size {self.ray_batch_size} must "
+                             f"divide by n_scenes {n_scenes}")
+        per = self.ray_batch_size // n_scenes
+        picks = rng.choice(n_avail, n_scenes, replace=False)
+        srcs, rays = [], []
+        for idx in picks:
+            meta = self.scene_meta(self.scene_ids[idx])
+            s, r = self._stage_for_scene(rng, meta, k_steps, per)
+            srcs.append(s)
+            rays.append(r)
+        out = {k: np.stack([s[k] for s in srcs]) for k in srcs[0]}
+        # (S, K, per, ...) -> (K, S, per, ...): step axis leads for lax.scan
+        out.update({k: np.stack([r[k] for r in rays], axis=1)
+                    for k in rays[0]})
+        return out
+
     def _full_image_ids(self, w, h):
         ys_g, xs_g = np.mgrid[0:h, 0:w]
         return xs_g.reshape(-1), ys_g.reshape(-1)
@@ -324,6 +391,27 @@ class NeRDS360AE:
             meta, view_ids, xs, ys, c2w_table, meta.img_files_train,
             "train"))
         sample["img_wh"] = np.asarray([w, h])
+        return sample
+
+    def sample_pose(self, scene_idx: int, c2w: np.ndarray,
+                    src_views: Optional[List[int]] = None):
+        """Full-image sample for an ARBITRARY destination pose (no target) —
+        the vis_only 360-spiral flythrough path (reference spiral poses
+        nerds360.py:264-269 applied to the few-shot setting)."""
+        meta = self.scene_meta(self.scene_ids[scene_idx])
+        src = src_views if src_views is not None else (
+            SRC_VIEWS_3 if self.num_src_views == 3 else SRC_VIEWS_5_TEST)
+        sample = self._source_stack(meta, src)
+        w, h = self.img_wh
+        xs, ys = self._full_image_ids(w, h)
+        o, v, d = _rays_at_pixels(np.asarray(c2w, np.float64),
+                                  xs.astype(np.float64),
+                                  ys.astype(np.float64), w, h, meta.focal)
+        sample.update({
+            "rays_o": o, "viewdirs": v, "rays_d": d,
+            "radii": np.full((o.shape[0], 1),
+                             2.0 / (meta.focal * np.sqrt(12.0)), np.float32),
+            "img_wh": np.asarray([w, h])})
         return sample
 
     def sample_test(self, scene_idx: int, dest_idx: int,

@@ -471,6 +471,89 @@ class NeRFTP(nn.Module):
         return results
 
 
+SRC_KEYS = ("src_imgs", "src_poses", "src_focal", "src_c")
+
+
+def make_scene_stage_fns(model: "NeRFTP", white_bkgd: bool = False,
+                         mixed: bool = False):
+    """(encode_fn, loss_fn) for train.loop.make_scene_stage_trainer.
+
+    encode_fn runs NeRFTP.encode with BatchNorm in train mode (stats update
+    once per stage); loss_fn evaluates the ray branch against the fixed
+    corner tables and returns the model's training loss (MSE on fine +
+    interlevel bound when use_proposal, else MSE coarse+fine; + distortion).
+    Differentiable args are (ray_params, tables) — the trainer pulls the
+    table cotangent back through encode_fn's VJP.
+
+    With `mixed=True` (the SCENE-MIXED stage): `src` leaves carry a leading
+    scene axis S and every step's ray batch is (S, B, ...) — rays from ALL
+    S scenes mixed into each step's gradient. Quality rationale: a stage of
+    K consecutive steps on ONE frozen scene wrecks training (fixture A/Bs:
+    val PSNR 26.6 -> 22.6 at K=4, -> 15.4 at K=8 — Adam momentum couples to
+    the scene blocks), while mixing S scenes per step keeps the per-step
+    gradient as scene-diverse as the reference's per-step scene draw
+    (nerds360_ae.py:515) at K/S-fold encoder amortization.
+    """
+    from neo360_tpu.ops.losses import img2mse
+
+    def _encode_one(enc_params, model_state, src):
+        (pt, lt, _), mut = model.apply(
+            {"params": enc_params, "batch_stats": model_state},
+            src["src_imgs"], src["src_poses"], src["src_focal"],
+            src["src_c"], True, method=NeRFTP.encode,
+            mutable=["batch_stats"])
+        return (pt, lt), mut["batch_stats"]
+
+    def _loss_one(ray_params, pt, lt, src, batch, key):
+        rays = {k: batch[k] for k in ("rays_o", "rays_d", "viewdirs")}
+        rays.update({k: src[k] for k in SRC_KEYS})
+        # __call__ recomputes the (static) map sizes from the table shapes,
+        # so the hw element of the encoded tuple is not needed here
+        out = model.apply({"params": ray_params}, rays, True, white_bkgd,
+                          encoded=(pt, lt, None), train=False,
+                          rngs={"sampling": key})
+        l1 = img2mse(out[1]["rgb"], batch["target"])
+        if model.use_proposal:
+            loss = l1 + neo360_interlevel_loss(out) \
+                + neo360_distortion_loss(out)
+        else:
+            l0 = img2mse(out[0]["rgb"], batch["target"])
+            loss = l0 + l1 + neo360_distortion_loss(out)
+        return loss, l1
+
+    if not mixed:
+        def encode_fn(enc_params, model_state, src):
+            tables, bs = _encode_one(enc_params, model_state, src)
+            return tables, (None, bs)
+
+        def loss_fn(ray_params, tables, src, batch, key):
+            loss, l1 = _loss_one(ray_params, tables[0], tables[1], src,
+                                 batch, key)
+            return loss, {"mse": l1}
+
+        return encode_fn, loss_fn
+
+    def encode_fn(enc_params, model_state, src):
+        # vmap over the scene axis: one batched encoder program for all S
+        # scenes; per-scene BatchNorm batch_stats are averaged into the
+        # running stats (each scene's stack is an equal-size BN batch)
+        (pt, lt), bs = jax.vmap(
+            lambda s: _encode_one(enc_params, model_state, s))(src)
+        new_bs = jax.tree_util.tree_map(lambda x: x.mean(axis=0), bs)
+        return (pt, lt), (None, new_bs)
+
+    def loss_fn(ray_params, tables, src, batch, key):
+        pt, lt = tables
+        n_scenes = batch["target"].shape[0]
+        keys = jax.random.split(key, n_scenes)
+        losses, l1s = jax.vmap(
+            lambda p, l, s, b, k: _loss_one(ray_params, p, l, s, b, k)
+        )(pt, lt, src, batch, keys)
+        return losses.mean(), {"mse": l1s.mean()}
+
+    return encode_fn, loss_fn
+
+
 def neo360_distortion_loss(results, mult: float = 0.01) -> jnp.ndarray:
     """Distortion on the FINE level's fg and bg histograms with uniform
     1/N interval (reference model.py:1246-1260, which feeds the CUDA

@@ -41,7 +41,8 @@ def create_train_state(params, optimizer, model_state=None) -> TrainState:
 
 def make_train_step(loss_fn: Callable, optimizer,
                     pmean_axis: Optional[str] = None,
-                    with_model_state: bool = False):
+                    with_model_state: bool = False,
+                    with_step: bool = False):
     """Build train_step(state, batch, key) -> (state, metrics).
 
     loss_fn signature:
@@ -49,6 +50,9 @@ def make_train_step(loss_fn: Callable, optimizer,
       with_model_state:   (params, model_state, batch, key)
                             -> (loss, (metrics, new_model_state))
         for models with mutable collections (BatchNorm running stats).
+      with_step:          loss_fn receives the current optimizer step as a
+        trailing `step` argument (traced int32) — e.g. MipNeRF-360's
+        train_frac anneal (reference mipnerf360/model.py:433-437).
 
     If `pmean_axis` is set, grads/metrics are psum-averaged over that mapped
     axis (the data-parallel grad all-reduce, replacing the reference's NCCL
@@ -56,13 +60,14 @@ def make_train_step(loss_fn: Callable, optimizer,
     is inserted automatically and `pmean_axis` is unnecessary.
     """
     def train_step(state: TrainState, batch, key):
+        extra = (state.step,) if with_step else ()
         if with_model_state:
             (loss, (metrics, model_state)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params, state.model_state,
-                                       batch, key)
+                                       batch, key, *extra)
         else:
             (loss, metrics), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params, batch, key)
+                loss_fn, has_aux=True)(state.params, batch, key, *extra)
             model_state = state.model_state
         if pmean_axis is not None:
             grads = jax.lax.pmean(grads, pmean_axis)
@@ -76,14 +81,23 @@ def make_train_step(loss_fn: Callable, optimizer,
 
 
 def make_buffer_trainer(train_step: Callable, batch_size: int,
-                        steps_per_call: int):
+                        steps_per_call: int, mesh=None):
     """Wrap a train_step into a jitted K-step driver over a device-resident
     ray buffer.
 
     buffers: dict of (N, ...) arrays (rays_o, viewdirs, rays_d, target, ...).
     Random indices are drawn per step with jax.random inside the loop, so the
     whole call is one XLA program.
+
+    With a `mesh`, each step's gathered ray batch is constrained to the
+    mesh's "data" axis: XLA shards the forward/backward over devices and
+    inserts the gradient all-reduce (the reference's DDP, run.py:114,134,154)
+    automatically. Buffers and state stay replicated.
     """
+    if mesh is not None and batch_size % mesh.shape["data"] != 0:
+        raise ValueError(f"batch_size {batch_size} must divide by data axis "
+                         f"{mesh.shape['data']}")
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def run(state: TrainState, buffers: Dict[str, jnp.ndarray], key):
         n = next(iter(buffers.values())).shape[0]
@@ -93,6 +107,11 @@ def make_buffer_trainer(train_step: Callable, batch_size: int,
             key, k_idx, k_step = jax.random.split(key, 3)
             idx = jax.random.randint(k_idx, (batch_size,), 0, n)
             batch = {k: v[idx] for k, v in buffers.items()}
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                sh = NamedSharding(mesh, P("data"))
+                batch = {k: jax.lax.with_sharding_constraint(v, sh)
+                         for k, v in batch.items()}
             state, metrics = train_step(state, batch, k_step)
             return state, key, metrics
 
@@ -128,6 +147,136 @@ def make_staged_trainer(train_step: Callable):
         return state, last
 
     return run
+
+
+@flax.struct.dataclass
+class SceneStageState:
+    """Train state for the scene-stage (encode-once) trainer: encoder and
+    ray-branch params carry separate optimizer states because they update at
+    different cadences (encoder once per K-step stage, ray branch every
+    step)."""
+    step: jnp.ndarray
+    enc_params: Any
+    ray_params: Any
+    enc_opt_state: Any
+    ray_opt_state: Any
+    model_state: Any = None
+
+    @property
+    def params(self):
+        """Merged view for checkpoint/render compatibility."""
+        return {**self.enc_params, **self.ray_params}
+
+
+def partition_encoder_params(params, is_enc=None):
+    """Split a NeRFTP param tree into (encoder, ray-branch) top-level
+    subtrees. Encoder = everything NeRFTP.encode touches: the GridEncoder
+    ('encoder') and the factored local projections ('local_proj_*')."""
+    if is_enc is None:
+        is_enc = lambda k: k == "encoder" or k.startswith("local_proj")
+    params = dict(params)
+    enc = {k: v for k, v in params.items() if is_enc(k)}
+    ray = {k: v for k, v in params.items() if not is_enc(k)}
+    return enc, ray
+
+
+def create_scene_stage_state(params, enc_optimizer, ray_optimizer,
+                             model_state=None) -> SceneStageState:
+    enc, ray = partition_encoder_params(params)
+    return SceneStageState(
+        step=jnp.zeros((), jnp.int32), enc_params=enc, ray_params=ray,
+        enc_opt_state=enc_optimizer.init(enc),
+        ray_opt_state=ray_optimizer.init(ray), model_state=model_state)
+
+
+def make_scene_stage_trainer(encode_fn: Callable, loss_fn: Callable,
+                             enc_optimizer, ray_optimizer,
+                             multi_stage: bool = False):
+    """Encode-once scene-stage trainer — the TPU-first restructuring of
+    NeO-360 training for throughput.
+
+    Motivation: the GridEncoder + pixel-latent encode is ~75% of a NeO-360
+    train step (BASELINE.md xplane attribution) yet its inputs (the 3 source
+    views) change only when the sampled scene changes. The reference
+    re-encodes every 500-ray step (models/neo360/model.py:266-273). Here a
+    *stage* = K consecutive steps on ONE scene: the encoder forward runs
+    once, each step trains the ray branch against the fixed feature tables,
+    and the encoder receives ONE update from the K steps' accumulated
+    feature cotangents pulled back through ONE encoder VJP. The pullback is
+    exact gradient accumulation: a VJP is linear in the cotangent and the
+    encoder params are fixed within the stage, so
+    sum_k d loss_k/d enc = vjp(sum_k d loss_k/d features). The cotangent is
+    divided by K (mean), keeping the encoder's per-step learning rate.
+
+    encode_fn(enc_params, model_state, src)
+        -> (tables, (aux, new_model_state)); `tables` is the differentiable
+        feature pack the loss consumes (NeRFTP.encode's corner tables).
+    loss_fn(ray_params, tables, src, batch, key) -> (loss, metrics)
+
+    Returns run(state, src, ray_batches, key) -> (state, last-step metrics)
+    where ray_batches is a dict of (K, B, ...) arrays. With
+    `multi_stage=True`, `src` leaves carry a leading stage axis S and
+    ray_batches are (S, K, B, ...): one dispatch scans S whole stages
+    (amortizing the ~0.3-0.5 s per-dispatch relay cost the way
+    make_staged_trainer does for plain steps).
+    """
+    def stage_body(state: SceneStageState, src, ray_batches, key):
+        tables, enc_vjp, (_, new_model_state) = jax.vjp(
+            lambda p: encode_fn(p, state.model_state, src),
+            state.enc_params, has_aux=True)
+
+        # f32 cotangent accumulator (the tables are bf16 in the fast preset;
+        # K-term bf16 sums would lose ~1e-2 relative accuracy)
+        cot0 = jax.tree_util.tree_map(
+            lambda t: jnp.zeros(t.shape, jnp.float32), tables)
+
+        def body(carry, batch):
+            ray_p, ray_opt, cot, key, step = carry
+            key, k = jax.random.split(key)
+            (_, metrics), (g_ray, g_tab) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(
+                    ray_p, tables, src, batch, k)
+            updates, ray_opt = ray_optimizer.update(g_ray, ray_opt, ray_p)
+            ray_p = optax.apply_updates(ray_p, updates)
+            cot = jax.tree_util.tree_map(
+                lambda c, g: c + g.astype(jnp.float32), cot, g_tab)
+            return (ray_p, ray_opt, cot, key, step + 1), metrics
+
+        k_steps = next(iter(ray_batches.values())).shape[0]
+        (ray_p, ray_opt, cot, _, step), metrics = jax.lax.scan(
+            body, (state.ray_params, state.ray_opt_state, cot0, key,
+                   state.step), ray_batches)
+
+        cot = jax.tree_util.tree_map(
+            lambda c, t: (c / k_steps).astype(t.dtype), cot, tables)
+        (g_enc,) = enc_vjp(cot)
+        enc_updates, enc_opt = enc_optimizer.update(
+            g_enc, state.enc_opt_state, state.enc_params)
+        enc_p = optax.apply_updates(state.enc_params, enc_updates)
+
+        last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+        return SceneStageState(
+            step=step, enc_params=enc_p, ray_params=ray_p,
+            enc_opt_state=enc_opt, ray_opt_state=ray_opt,
+            model_state=new_model_state), last
+
+    if not multi_stage:
+        return functools.partial(jax.jit, donate_argnums=(0,))(stage_body)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run_stages(state: SceneStageState, srcs, ray_batches, key):
+        def outer(carry, inp):
+            state, key = carry
+            src, rb = inp
+            key, k = jax.random.split(key)
+            state, metrics = stage_body(state, src, rb, k)
+            return (state, key), metrics
+
+        (state, _), metrics = jax.lax.scan(outer, (state, key),
+                                           (srcs, ray_batches))
+        return state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
+
+    return run_stages
 
 
 def stack_batches(samples, keys=None):

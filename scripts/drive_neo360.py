@@ -36,8 +36,11 @@ RAY_KEYS = ("rays_o", "rays_d", "viewdirs", "src_imgs", "src_poses",
 
 def main():
     print("devices:", jax.devices())
+    # NEO360_DRIVE_FIXTURE_SCENES: fixture scene count (scene-mixed stages
+    # draw NEO360_DRIVE_SCENES distinct scenes per stage, so need >= that)
+    n_fix = int(os.environ.get("NEO360_DRIVE_FIXTURE_SCENES", "2"))
     root = make_multi_scene_root(tempfile.mkdtemp(prefix="neo360_drive_"),
-                                 n_scenes=2, wh=(64, 48))
+                                 n_scenes=n_fix, wh=(64, 48))
     # NEO360_DRIVE_RAYS: large-batch A/B (LR scaled ~sqrt of batch ratio)
     n_rays = int(os.environ.get("NEO360_DRIVE_RAYS", "512"))
     ds = NeRDS360AE(root, split="train", img_wh=(64, 48),
@@ -91,26 +94,77 @@ def main():
             loss = l0 + l1 + neo360_distortion_loss(out)
         return loss, ({"mse": l1}, new_state["batch_stats"])
 
-    step = tl.make_train_step(loss_fn, opt, with_model_state=True)
-    staged = tl.make_staged_trainer(step)
-
+    # NEO360_DRIVE_STAGE=K: scene-stage (encode-once) trainer A/B — the
+    # encoder runs once per K consecutive steps on one scene
+    # (train/loop.py make_scene_stage_trainer). 0 = reference per-step
+    # encoding via the plain staged trainer.
+    stage_k = int(os.environ.get("NEO360_DRIVE_STAGE", "0"))
     k_steps = 16
     n_dispatch = int(os.environ.get("NEO360_DRIVE_DISPATCHES", "30"))
     key = jax.random.PRNGKey(7)
     tot_t = 0.0
-    for d in range(n_dispatch):
-        batches = [ds.sample_train(rng) for _ in range(k_steps)]
-        stacked = {k: jnp.stack([jnp.asarray(b[k]) for b in batches])
-                   for k in batches[0]}
-        t0 = time.time()
-        state, m = staged(state, stacked, jax.random.fold_in(key, d))
-        mse = float(m["mse"])
-        dt = time.time() - t0
-        if d > 0:
-            tot_t += dt
-        print(f"dispatch {d:02d}  step {int(state.step):4d}  "
-              f"mse {mse:.4f}  psnr {-10*np.log10(mse):5.2f}  {dt:6.2f}s",
-              flush=True)
+
+    # NEO360_DRIVE_SCENES=S (>1): SCENE-MIXED stages — S scenes encoded once
+    # per stage, each step's rays drawn from all S scenes (fixes the
+    # same-scene block-correlation quality loss: K=8 single-scene stages
+    # measured 15.4 val PSNR vs 26.6 control).
+    n_mix = int(os.environ.get("NEO360_DRIVE_SCENES", "1"))
+    if stage_k:
+        from neo360_tpu.models.neo360 import SRC_KEYS, make_scene_stage_fns
+        assert k_steps % stage_k == 0, "16 steps/dispatch must split"
+        n_stages = k_steps // stage_k
+        encode_fn, stage_loss = make_scene_stage_fns(model, mixed=n_mix > 1)
+        # The encoder takes 1/K as many Adam updates as per-step training;
+        # Adam's per-update step size is ~lr regardless of gradient scale,
+        # so matching the control's parameter travel needs enc lr x K
+        # (first K=8 A/B without this: val PSNR 15.41 vs 26.59 control).
+        enc_lr = lr * float(os.environ.get("NEO360_DRIVE_ENC_LR_SCALE",
+                                           str(stage_k)))
+        enc_opt = optax.chain(optax.clip_by_global_norm(0.05),
+                              optax.adam(enc_lr))
+        ray_opt = optax.chain(optax.clip_by_global_norm(0.05),
+                              optax.adam(lr))
+        run_stages = tl.make_scene_stage_trainer(
+            encode_fn, stage_loss, enc_opt, ray_opt, multi_stage=True)
+        sstate = tl.create_scene_stage_state(
+            variables["params"], enc_opt, ray_opt, variables["batch_stats"])
+        ray_ks = ("rays_o", "rays_d", "viewdirs", "target")
+        for d in range(n_dispatch):
+            stages = [ds.sample_train_stage(rng, stage_k, n_scenes=n_mix)
+                      for _ in range(n_stages)]
+            srcs = {k: jnp.stack([jnp.asarray(s[k]) for s in stages])
+                    for k in SRC_KEYS}
+            rbs = {k: jnp.stack([jnp.asarray(s[k]) for s in stages])
+                   for k in ray_ks}
+            t0 = time.time()
+            sstate, m = run_stages(sstate, srcs, rbs,
+                                   jax.random.fold_in(key, d))
+            mse = float(m["mse"])
+            dt = time.time() - t0
+            if d > 0:
+                tot_t += dt
+            print(f"dispatch {d:02d}  step {int(sstate.step):4d}  "
+                  f"mse {mse:.4f}  psnr {-10*np.log10(mse):5.2f}  "
+                  f"{dt:6.2f}s", flush=True)
+        state = tl.TrainState(step=sstate.step, params=sstate.params,
+                              opt_state=None,
+                              model_state=sstate.model_state)
+    else:
+        step = tl.make_train_step(loss_fn, opt, with_model_state=True)
+        staged = tl.make_staged_trainer(step)
+        for d in range(n_dispatch):
+            batches = [ds.sample_train(rng) for _ in range(k_steps)]
+            stacked = {k: jnp.stack([jnp.asarray(b[k]) for b in batches])
+                       for k in batches[0]}
+            t0 = time.time()
+            state, m = staged(state, stacked, jax.random.fold_in(key, d))
+            mse = float(m["mse"])
+            dt = time.time() - t0
+            if d > 0:
+                tot_t += dt
+            print(f"dispatch {d:02d}  step {int(state.step):4d}  "
+                  f"mse {mse:.4f}  psnr {-10*np.log10(mse):5.2f}  "
+                  f"{dt:6.2f}s", flush=True)
 
     rays_s = (n_dispatch - 1) * k_steps * n_rays / tot_t
     print(f"train throughput (post-compile): {rays_s:,.0f} rays/s")
