@@ -84,19 +84,27 @@ def parse_args(argv=None) -> Config:
 def build_model(cfg: Config):
     import jax.numpy as jnp
     dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
+    # model-size overrides (capacity studies / tiny dryruns); None = the
+    # reference constructor defaults
+    size = {k: v for k, v in (
+        ("num_coarse_samples", cfg.num_coarse_samples),
+        ("num_fine_samples", cfg.num_fine_samples)) if v is not None}
     if cfg.exp_type == "vanilla":
         from neo360_tpu.models.vanilla import VanillaNeRF
-        return VanillaNeRF()
+        return VanillaNeRF(**size)
     if cfg.exp_type == "mipnerf360":
         from neo360_tpu.models.mipnerf360 import MipNeRF360
         return MipNeRF360(compute_dtype=dtype)
     if cfg.exp_type == "pixelnerf":
         from neo360_tpu.models.pixelnerf import PixelNeRF
         return PixelNeRF(num_src_views=cfg.num_src_views,
-                         compute_dtype=dtype)
+                         compute_dtype=dtype, **size)
     if cfg.exp_type == "neo360":
         from neo360_tpu.models.neo360 import NeRFTP
-        return NeRFTP(num_src_views=cfg.num_src_views, compute_dtype=dtype)
+        if cfg.grid_size is not None:
+            size["grid_size"] = tuple(cfg.grid_size)
+        return NeRFTP(num_src_views=cfg.num_src_views, compute_dtype=dtype,
+                      **size)
     if cfg.exp_type == "neo360_fast":
         from neo360_tpu.models.neo360 import NeRFTP
         # grid (64,64,32): quality-gated anisotropic cut — halving the z
@@ -105,19 +113,47 @@ def build_model(cfg: Config):
         # 2026-08-18) and halves encoder gather/scatter/MLP work.
         return NeRFTP(num_src_views=cfg.num_src_views, compute_dtype=dtype,
                       use_proposal=True, num_prop_samples=64,
-                      num_fine_samples=64, lift_dim=cfg.lift_dim,
-                      grid_size=(64, 64, 32))
+                      num_fine_samples=cfg.num_fine_samples or 64,
+                      lift_dim=cfg.lift_dim,
+                      grid_size=tuple(cfg.grid_size or (64, 64, 32)))
     raise ValueError(cfg.exp_type)
 
 
-def build_optimizer(cfg: Config):
+def build_optimizer(cfg: Config, params=None):
+    """Optimizer for the run mode.
+
+    Normal training: Adam on the warmup-sin x log-lerp schedule. Optimize /
+    finetune-lpips runs (reference neo360/model.py:957-981, run.py:93-97):
+    constant lr 5e-6 AND the SpatialEncoder subtree frozen — pass `params`
+    so the frozen partition can be labeled (optax.multi_transform with
+    set_to_zero); without `params` the freeze cannot be applied and these
+    modes raise rather than silently training the encoder.
+    """
     import optax
     from neo360_tpu.train.schedules import nerf_schedule
-    sched = nerf_schedule(cfg.lr_init, cfg.lr_final, cfg.run_max_steps,
-                          cfg.lr_delay_steps, cfg.lr_delay_mult)
+    freeze = cfg.is_optimize or cfg.finetune_lpips
+    if freeze:
+        sched = 5.0e-6     # pinned (reference neo360/model.py:959-963)
+    else:
+        sched = nerf_schedule(cfg.lr_init, cfg.lr_final, cfg.run_max_steps,
+                              cfg.lr_delay_steps, cfg.lr_delay_mult)
     tx = optax.adam(sched)
     if cfg.grad_max_norm > 0:
         tx = optax.chain(optax.clip_by_global_norm(cfg.grad_max_norm), tx)
+    if freeze:
+        if params is None:
+            raise ValueError(
+                "optimize/finetune modes need `params` to freeze the "
+                "SpatialEncoder partition")
+        import jax
+
+        def label(path, _):
+            keys = [getattr(p, "key", str(p)) for p in path]
+            return "frozen" if "spatial_encoder" in keys else "train"
+
+        labels = jax.tree_util.tree_map_with_path(label, params)
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()}, labels)
     return tx
 
 
@@ -169,11 +205,14 @@ def make_loss_fn(cfg: Config, model, variables, lpips_model=None):
         from neo360_tpu.models.mipnerf360 import (distortion_loss,
                                                   interlevel_loss)
 
-        def loss_fn(params, batch, key):
+        def loss_fn(params, batch, key, step):
+            # train_frac anneals the proposal logits over training
+            # (reference mipnerf360/model.py:433-437: step / 1e6)
+            train_frac = jnp.clip(step.astype(jnp.float32) / 1.0e6, 0.0, 1.0)
             rays = {k: batch[k] for k in ("rays_o", "rays_d", "viewdirs",
                                           "radii")}
             rend, hist = model.apply(
-                {"params": params}, rays, 1.0, True, 0.2, 3.0,
+                {"params": params}, rays, train_frac, True, 0.2, 3.0,
                 rngs={"sampling": key})
             mse = L.img2mse(rend[-1]["rgb"], batch["target"])
             loss = (jnp.sqrt(mse + 1e-6) + interlevel_loss(hist)
@@ -220,7 +259,11 @@ def make_loss_fn(cfg: Config, model, variables, lpips_model=None):
                 loss = l0 + l1 + neo360_distortion_loss(out)
             if cfg.finetune_lpips and lpips_model is not None \
                     and lpips_model.pretrained:
-                side = int(np.sqrt(batch["target"].shape[0]))
+                n = batch["target"].shape[0]
+                side = int(np.sqrt(n))
+                assert side * side == n, (
+                    f"LPIPS patch loss needs a square ray batch "
+                    f"(patch_size**2), got {n} rays")
                 pred = jnp.clip(out[1]["rgb"], 0, 1).reshape(
                     1, side, side, 3)
                 gt = jnp.clip(batch["target"], 0, 1).reshape(
@@ -237,8 +280,13 @@ def make_loss_fn(cfg: Config, model, variables, lpips_model=None):
 # renderers (encode-once, tiled)
 # ---------------------------------------------------------------------------
 
-def make_render_fn(cfg: Config, model, variables):
-    """Returns render_fn(sample) -> {"rgb","depth"} for full images."""
+def make_render_fn(cfg: Config, model, variables, mesh=None):
+    """Returns render_fn(sample) -> {"rgb","depth"} for full images.
+
+    With a `mesh`, every ray tile is sharded over the mesh's "data" axis
+    (train/loop.py make_image_renderer): all chips render slices of the tile
+    concurrently — the replacement for the reference's eval-time Lightning
+    all_gather (interface.py:30-50)."""
     import jax
     import jax.numpy as jnp
     from neo360_tpu.train.loop import make_image_renderer
@@ -250,12 +298,16 @@ def make_render_fn(cfg: Config, model, variables):
             if cfg.exp_type == "vanilla":
                 out = model.apply({"params": params}, rays, False,
                                   cfg.white_back, near, far)
-                return {"rgb": out[1]["rgb"], "depth": out[1]["depth"]}
+                return {"rgb": out[1]["rgb"], "depth": out[1]["depth"],
+                        "acc": out[1]["acc"]}
             rend, _ = model.apply({"params": params}, rays, 1.0, False,
                                   near, far)
-            return {"rgb": rend[-1]["rgb"], "depth": rend[-1]["depth"]}
+            out = {"rgb": rend[-1]["rgb"], "depth": rend[-1]["depth"]}
+            if "acc" in rend[-1]:
+                out["acc"] = rend[-1]["acc"]
+            return out
 
-        renderer = make_image_renderer(render_chunk, cfg.chunk)
+        renderer = make_image_renderer(render_chunk, cfg.chunk, mesh=mesh)
         keys = (("rays_o", "rays_d", "viewdirs") if cfg.exp_type == "vanilla"
                 else ("rays_o", "rays_d", "viewdirs", "radii"))
 
@@ -281,7 +333,7 @@ def make_render_fn(cfg: Config, model, variables):
                 latent=pack["enc"])
             return {"rgb": out[1]["rgb"], "depth": out[1]["depth"]}
 
-        renderer = make_image_renderer(render_chunk, cfg.chunk)
+        renderer = make_image_renderer(render_chunk, cfg.chunk, mesh=mesh)
 
         def render_fn(sample):
             src = {k: jnp.asarray(sample[k]) for k in
@@ -305,9 +357,13 @@ def make_render_fn(cfg: Config, model, variables):
                 {"params": pack["params"], "batch_stats": pack["bs"]},
                 rays, False, cfg.white_back, out_depth=True,
                 encoded=pack["enc"])
-            return {"rgb": out[1]["rgb"], "depth": out[1]["depth"]}
+            # fg/bg decomposition tiles ride along for the val grids
+            # (reference neo360/model.py:939-942, train_helper.py:246-272)
+            return {"rgb": out[1]["rgb"], "depth": out[1]["depth"],
+                    "fg_rgb": out[1]["fg_rgb"], "bg_rgb": out[1]["bg_rgb"],
+                    "fg_acc": out[1]["fg_acc"], "bg_acc": out[1]["bg_acc"]}
 
-        renderer = make_image_renderer(render_chunk, cfg.chunk)
+        renderer = make_image_renderer(render_chunk, cfg.chunk, mesh=mesh)
 
         def render_fn(sample):
             src = {k: jnp.asarray(sample[k]) for k in
@@ -329,6 +385,31 @@ def make_render_fn(cfg: Config, model, variables):
 # ---------------------------------------------------------------------------
 # train / eval drivers
 # ---------------------------------------------------------------------------
+
+def _make_mesh_if_multichip():
+    """1-D {"data": n} mesh over all local devices when more than one is
+    present — the production analogue of the reference's `num_gpus>1` DDP
+    switch (run.py:114,134,154). Returns None on a single chip."""
+    import jax
+    if jax.device_count() <= 1:
+        return None
+    from neo360_tpu.parallel import sharding as sh
+    mesh = sh.make_mesh()
+    print(f"data-parallel mesh over {jax.device_count()} devices")
+    return mesh
+
+
+def _round_to_devices(cfg: Config, field: str, n_dev: int) -> Config:
+    """Round a batch-size field up to a multiple of the data-axis size so
+    ray batches shard evenly (the reference's 500-ray batches would leave
+    4 stray rays on 8 chips)."""
+    value = getattr(cfg, field)
+    if value % n_dev:
+        rounded = -(-value // n_dev) * n_dev
+        print(f"{field} {value} -> {rounded} (multiple of {n_dev} devices)")
+        cfg = cfg.replace(**{field: rounded})
+    return cfg
+
 
 def _init_variables(cfg: Config, model, example_batch):
     import jax
@@ -377,22 +458,31 @@ def run_train(cfg: Config):
         lpips_model = LPIPSModel(cfg.lpips_weights)
 
     model = build_model(cfg)
-    optimizer = build_optimizer(cfg)
+    mesh = _make_mesh_if_multichip()
 
     if cfg.exp_type in ("vanilla", "mipnerf360"):
         from neo360_tpu.data.nerds360 import NeRDS360
+        if mesh is not None:
+            cfg = _round_to_devices(cfg, "batch_size", mesh.devices.size)
         train_ds = NeRDS360(cfg.root_dir, "train", cfg.img_wh,
                             cfg.white_back)
         val_ds = NeRDS360(cfg.root_dir, "val", cfg.img_wh, cfg.white_back)
         buffers = train_ds.ray_buffers()
         example = {k: v[:4] for k, v in buffers.items()}
         variables = _init_variables(cfg, model, example)
+        optimizer = build_optimizer(cfg, variables["params"])
         loss_fn = make_loss_fn(cfg, model, variables)
-        step_fn = tl.make_train_step(loss_fn, optimizer)
+        step_fn = tl.make_train_step(loss_fn, optimizer,
+                                     with_step=cfg.exp_type == "mipnerf360")
         state = tl.create_train_state(variables["params"], optimizer)
         state, start_step = _maybe_resume(ckpt, state)
+        if mesh is not None:
+            from neo360_tpu.parallel import sharding as sh
+            state = sh.replicate_tree(state, mesh)
+            buffers = sh.replicate_tree(
+                {k: jnp.asarray(v) for k, v in buffers.items()}, mesh)
         runner = tl.make_buffer_trainer(step_fn, cfg.batch_size,
-                                        cfg.steps_per_call)
+                                        cfg.steps_per_call, mesh=mesh)
         key = jax.random.PRNGKey(cfg.seed + 2)
         step = start_step
         while step < cfg.run_max_steps:
@@ -402,7 +492,7 @@ def run_train(cfg: Config):
             logger.log(step, {k: float(v) for k, v in m.items()})
             if step % cfg.save_every_steps < cfg.steps_per_call:
                 variables = dict(variables, params=state.params)
-                render_fn = make_render_fn(cfg, model, variables)
+                render_fn = make_render_fn(cfg, model, variables, mesh=mesh)
                 sample = val_ds.image_rays(0)
                 out = render_fn(sample)
                 w, h = cfg.img_wh
@@ -410,6 +500,11 @@ def run_train(cfg: Config):
                     out["rgb"].reshape(h, w, 3),
                     jnp.asarray(sample["target"]).reshape(h, w, 3)))
                 logger.log(step, {"val_psnr": val_psnr})
+                from neo360_tpu.utils.visualize import build_val_grid
+                logger.log_image(step, "val_grid", build_val_grid(
+                    cfg.img_wh,
+                    np.asarray(sample["target"]).reshape(h, w, 3),
+                    {k: np.asarray(v) for k, v in out.items()}))
                 ckpt.save(step, jax.device_get(state),
                           {"val_psnr": val_psnr})
         ckpt.wait()
@@ -418,6 +513,8 @@ def run_train(cfg: Config):
     # few-shot experiments
     from neo360_tpu.data.nerds360_ae import NeRDS360AE
     from neo360_tpu.train.pipeline import prefetch_to_device, train_iterator
+    if mesh is not None:
+        cfg = _round_to_devices(cfg, "ray_batch_size", mesh.devices.size)
     train_ds = NeRDS360AE(
         cfg.root_dir, "train", cfg.img_wh, cfg.num_src_views,
         cfg.ray_batch_size, optimize=cfg.is_optimize,
@@ -428,6 +525,7 @@ def run_train(cfg: Config):
                for k, v in train_ds.sample_train(rng).items()}
     variables = _init_variables(cfg, model, example)
     variables = _maybe_load_resnet(cfg, variables)
+    optimizer = build_optimizer(cfg, variables["params"])
     loss_fn = make_loss_fn(cfg, model, variables, lpips_model)
     step_fn = tl.make_train_step(loss_fn, optimizer, with_model_state=True)
     stage_size = max(1, min(cfg.steps_per_call, cfg.save_every_steps,
@@ -436,6 +534,13 @@ def run_train(cfg: Config):
     state = tl.create_train_state(variables["params"], optimizer,
                                   variables["batch_stats"])
     state, start_step = _maybe_resume(ckpt, state)
+    place_fn = None
+    if mesh is not None:
+        from neo360_tpu.parallel import sharding as sh
+        state = sh.replicate_tree(state, mesh)
+        # staged (K, B, ...) batches sharded on the per-step ray axis; the
+        # scan in make_staged_trainer then runs each step data-parallel
+        place_fn = functools.partial(sh.shard_staged_batch, mesh=mesh)
 
     def staged_iterator():
         rng = np.random.default_rng(cfg.seed)
@@ -445,7 +550,7 @@ def run_train(cfg: Config):
             yield tl.stack_batches(samples, keys)
 
     key = jax.random.PRNGKey(cfg.seed + 2)
-    it = prefetch_to_device(staged_iterator(), size=2)
+    it = prefetch_to_device(staged_iterator(), size=2, place_fn=place_fn)
     step = start_step
     for i, batches in enumerate(it):
         if step >= cfg.run_max_steps:
@@ -458,7 +563,7 @@ def run_train(cfg: Config):
         if step > 0 and step % cfg.save_every_steps < stage_size:
             variables = {"params": state.params,
                          "batch_stats": state.model_state}
-            render_fn = make_render_fn(cfg, model, variables)
+            render_fn = make_render_fn(cfg, model, variables, mesh=mesh)
             sample_v = val_ds.sample_val(0)
             out = render_fn(sample_v)
             w, h = cfg.img_wh
@@ -467,6 +572,11 @@ def run_train(cfg: Config):
                 out["rgb"].reshape(h, w, 3),
                 jnp.asarray(sample_v["target"]).reshape(h, w, 3)))
             logger.log(step, {"val_psnr": val_psnr})
+            from neo360_tpu.utils.visualize import build_val_grid
+            logger.log_image(step, "val_grid", build_val_grid(
+                cfg.img_wh,
+                np.asarray(sample_v["target"]).reshape(h, w, 3),
+                {k: np.asarray(v) for k, v in out.items()}))
             ckpt.save(step, jax.device_get(state), {"val_psnr": val_psnr})
     ckpt.wait()
     return state
@@ -479,7 +589,7 @@ def run_eval(cfg: Config):
     from neo360_tpu.train.loop import TrainState
 
     model = build_model(cfg)
-    optimizer = build_optimizer(cfg)
+    mesh = _make_mesh_if_multichip()
     exp_dir = os.path.join(cfg.ckpt_dir, cfg.exp_name)
 
     lpips_model = None
@@ -494,9 +604,10 @@ def run_eval(cfg: Config):
         variables = _init_variables(
             cfg, model, {k: v[:4] for k, v in example.items()
                          if k != "instance_mask"})
+        optimizer = build_optimizer(cfg, variables["params"])
         state = _restore(cfg, exp_dir, variables, optimizer)
         variables = dict(variables, params=state.params)
-        render_fn = make_render_fn(cfg, model, variables)
+        render_fn = make_render_fn(cfg, model, variables, mesh=mesh)
         samples = (test_ds.image_rays(i) for i in range(test_ds.num_images))
     else:
         from neo360_tpu.data.nerds360_ae import NeRDS360AE
@@ -508,25 +619,51 @@ def run_eval(cfg: Config):
                    for k, v in test_ds.sample_test(0, 0).items()
                    if k != "img_wh"}
         variables = _init_variables(cfg, model, example)
+        optimizer = build_optimizer(cfg, variables["params"])
         state = _restore(cfg, exp_dir, variables, optimizer)
         variables = {"params": state.params,
                      "batch_stats": state.model_state
                      if state.model_state is not None
                      else variables.get("batch_stats")}
-        render_fn = make_render_fn(cfg, model, variables)
+        render_fn = make_render_fn(cfg, model, variables, mesh=mesh)
         n_dest = len(test_ds.scene_meta(test_ds.scene_ids[0]).c2w_test)
         samples = (test_ds.sample_test(s, d)
                    for s in range(len(test_ds.scene_ids))
                    for d in range(n_dest))
 
-    result = ev.evaluate_images(render_fn, samples, cfg.img_wh, lpips_model)
     out_dir = os.path.join(exp_dir, cfg.render_name)
-    summary = ev.save_eval_artifacts(
-        result, out_dir,
+    summary = ev.evaluate_and_save(
+        render_fn, samples, cfg.img_wh, out_dir, lpips_model,
         results_json=os.path.join(exp_dir, "results.json"),
         video=(cfg.eval_mode == "vis_only"))
+    if cfg.eval_mode == "vis_only":
+        path = _render_trajectory(cfg, render_fn, test_ds, out_dir)
+        print("wrote 360 flythrough:", path)
     print("eval summary:", summary)
     return summary
+
+
+def _render_trajectory(cfg: Config, render_fn, test_ds, out_dir: str,
+                       n_frames: int = 40) -> str:
+    """vis_only extra: render a 360-degree spiral flythrough around the first
+    test pose and store it as video360 (reference spiral poses
+    nerds360.py:264-269 + store_video models/utils.py:55-59)."""
+    from neo360_tpu.train.eval import trajectory_360
+    from neo360_tpu.utils import io
+    w, h = cfg.img_wh
+    if cfg.exp_type in ("vanilla", "mipnerf360"):
+        base = np.asarray(test_ds.c2w[0])
+        samples = (test_ds.pose_rays(p)
+                   for p in trajectory_360(base, n_frames))
+    else:
+        meta = test_ds.scene_meta(test_ds.scene_ids[0])
+        base = (meta.c2w_test[0] if len(meta.c2w_test)
+                else meta.c2w_train[0])
+        samples = (test_ds.sample_pose(0, p)
+                   for p in trajectory_360(base, n_frames))
+    frames = [np.asarray(render_fn(s)["rgb"], np.float32).reshape(h, w, 3)
+              for s in samples]
+    return io.store_video(out_dir, frames, name="video360.mp4")
 
 
 def _restore(cfg: Config, exp_dir: str, variables, optimizer):

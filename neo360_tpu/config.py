@@ -37,6 +37,11 @@ class Config:
     num_src_views: int = 3
     lift_dim: Optional[int] = None         # grid-lift row width (neo360_fast
                                            # preset: 128; None = reference)
+    # model-size overrides (None = the preset's reference defaults); used by
+    # capacity studies and the driver's tiny-shape multichip dryrun
+    grid_size: Optional[Tuple[int, int, int]] = None
+    num_coarse_samples: Optional[int] = None
+    num_fine_samples: Optional[int] = None
 
     # optimization
     bf16: bool = False                     # bf16 compute in encoders/MLPs

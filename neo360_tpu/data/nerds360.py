@@ -115,6 +115,12 @@ class NeRDS360:
         r["target"] = jnp.asarray(rgbs.reshape(-1, 3))
         return r
 
+    def pose_rays(self, c2w: np.ndarray) -> Dict[str, jnp.ndarray]:
+        """Rays for an ARBITRARY camera pose (4x4 or 3x4) — no target;
+        powers the vis_only 360-spiral flythrough (reference spiral poses
+        nerds360.py:264-269)."""
+        return self._rays_for_cameras(np.asarray(c2w, np.float32)[None])
+
     def image_rays(self, idx: int) -> Dict[str, jnp.ndarray]:
         """Rays + target (+ instance mask if available) for image `idx`."""
         w, h = self.img_wh

@@ -65,6 +65,24 @@ def shard_batch(batch: Dict, mesh: Mesh, axis: str = "data") -> Dict:
     return {k: place(v) for k, v in batch.items()}
 
 
+def shard_staged_batch(batches: Dict, mesh: Mesh, axis: str = "data") -> Dict:
+    """Place a STAGED batch dict ((K, B, ...) arrays from stack_batches) with
+    the per-step batch axis (axis 1) sharded over `axis`. Arrays whose second
+    dim is not divisible (source-image stacks, poses) are replicated. A
+    lax.scan over axis 0 then yields per-step batches sharded on their
+    leading ray axis — the data-parallel production path of cli.run_train."""
+    n = mesh.shape[axis]
+    sh_data = NamedSharding(mesh, P(None, axis))
+    sh_repl = replicated(mesh)
+
+    def place(x):
+        x = jax.numpy.asarray(x)
+        sh = sh_data if (x.ndim >= 2 and x.shape[1] % n == 0) else sh_repl
+        return jax.device_put(x, sh)
+
+    return {k: place(v) for k, v in batches.items()}
+
+
 def tp_param_shardings(params, mesh: Mesh, axis: str = "model",
                        min_tp_width: int = 512):
     """Pytree of NamedShardings for params: Dense kernels with a wide,

@@ -1,9 +1,10 @@
 """Checkpointing (orbax) with the reference's retention policy.
 
-Reference policy (run.py:48-78): monitor val/psnr (mode max), keep top-5 plus
-last, save every N epochs; plus save-all for test-time-optimization runs.
-Implemented with orbax CheckpointManager: best_fn on val/psnr, max_to_keep,
-always keep the latest. Restores params + opt state + step.
+Reference policy (run.py:48-78): monitor val/psnr (mode max), keep top-5 PLUS
+`save_last` (run.py:74), save every N epochs; plus save-all for test-time-
+optimization runs. Implemented with an orbax preservation policy of
+BestN(val_psnr) OR LatestN(1): the checkpoint you'd resume from can never be
+evicted by a better-but-older top-k set. Restores params + opt state + step.
 """
 
 from __future__ import annotations
@@ -12,17 +13,24 @@ import os
 from typing import Any, Dict, Optional
 
 import orbax.checkpoint as ocp
+from orbax.checkpoint.checkpoint_managers import preservation_policy as pp
 
 
 class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: int = 5,
                  monitor: str = "val_psnr", keep_all: bool = False):
         self.monitor = monitor
+
+        def metric(metrics) -> float:
+            return float((metrics or {}).get(monitor, -1e30))
+
+        preserve = None if keep_all else pp.AnyPreservationPolicy([
+            pp.LatestN(n=1),                 # reference save_last (run.py:74)
+            pp.BestN(get_metric_fn=metric, n=max_to_keep,
+                     keep_checkpoints_without_metrics=True),
+        ])
         options = ocp.CheckpointManagerOptions(
-            max_to_keep=None if keep_all else max_to_keep,
-            best_fn=(None if keep_all else
-                     (lambda metrics: float(metrics.get(monitor, -1e30)))),
-            best_mode="max",
+            preservation_policy=preserve,
             create=True,
             # synchronous saves: orbax's async writer thread can busy-spin
             # and starve single-CPU hosts (observed: a save wedging at 97%

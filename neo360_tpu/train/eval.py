@@ -88,6 +88,70 @@ def evaluate_images(
     return result
 
 
+def evaluate_and_save(render_fn, samples, img_wh, out_dir: str,
+                      lpips_model=None, results_json: Optional[str] = None,
+                      video: bool = False) -> Dict[str, float]:
+    """Streaming evaluate_images + save_eval_artifacts: every rendered view
+    is written to disk as soon as it is produced, so memory stays O(1) in
+    the number of views (the reference protocol is 75 scenes x 99 views x
+    320x240 — accumulating f32 images would need ~6.5 GB). Depth colormaps
+    keep the reference's GLOBAL max normalization (models/utils.py:29-43)
+    via a second pass over the streamed npz files."""
+    from PIL import Image
+    w, h = img_wh
+    vals: Dict[str, List[float]] = {"psnr": [], "ssim": [], "lpips": [],
+                                    "psnr_obj": []}
+    frames: Optional[List[np.ndarray]] = [] if video else None
+    depth_files: List[str] = []
+    depth_max = 0.0
+    os.makedirs(out_dir, exist_ok=True)
+    import jax.numpy as jnp
+    for i, sample in enumerate(samples):
+        out = render_fn(sample)
+        rgb = np.asarray(out["rgb"], np.float32).reshape(h, w, 3)
+        target = np.asarray(sample["target"], np.float32).reshape(h, w, 3)
+        Image.fromarray(io.to8b(rgb)).save(
+            os.path.join(out_dir, f"image{i:03d}.jpg"))
+        if "depth" in out:
+            depth = np.asarray(out["depth"], np.float32).reshape(h, w)
+            path = os.path.join(out_dir, f"depth_raw{i:03d}.npz")
+            np.savez_compressed(path, depth=depth)
+            depth_files.append(path)
+            depth_max = max(depth_max, float(np.nanmax(depth)))
+        vals["psnr"].append(float(M.psnr(jnp.asarray(rgb),
+                                         jnp.asarray(target))))
+        vals["ssim"].append(float(M.ssim(jnp.asarray(rgb),
+                                         jnp.asarray(target))))
+        if lpips_model is not None and lpips_model.pretrained:
+            vals["lpips"].append(float(lpips_model(
+                jnp.asarray(rgb)[None], jnp.asarray(target)[None])[0]))
+        if "instance_mask" in sample:
+            mask = np.asarray(sample["instance_mask"]).reshape(h, w) > 0
+            op = object_psnr(rgb, target, mask)
+            if op is not None:
+                vals["psnr_obj"].append(op)
+        if frames is not None:
+            frames.append(io.to8b(rgb))
+    if depth_files:
+        import cv2
+        for i, path in enumerate(depth_files):
+            depth = np.load(path)["depth"]
+            d8 = io.to8b(depth / (depth_max or 1.0))
+            cv2.imwrite(os.path.join(out_dir, f"depth_img{i:03d}.jpg"),
+                        cv2.applyColorMap(d8, cv2.COLORMAP_JET))
+    if frames:
+        io.store_video(out_dir, [f.astype(np.float32) / 255.0
+                                 for f in frames])
+    summary = {k: float(np.mean(v)) for k, v in vals.items() if v}
+    if results_json is not None:
+        payload = {k: {"mean": v} for k, v in summary.items()}
+        if lpips_model is None or not lpips_model.pretrained:
+            # explicit marker instead of a silently-absent metric
+            payload["lpips_status"] = "skipped: no pretrained weights"
+        io.write_stats(results_json, **payload)
+    return summary
+
+
 def save_eval_artifacts(result: EvalResult, out_dir: str,
                         results_json: Optional[str] = None,
                         video: bool = False) -> Dict[str, float]:

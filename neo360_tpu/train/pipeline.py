@@ -34,9 +34,10 @@ def train_iterator(dataset, seed: int = 0) -> Iterator:
 class _Prefetcher:
     _SENTINEL = object()
 
-    def __init__(self, iterator: Iterator, size: int):
+    def __init__(self, iterator: Iterator, size: int, place_fn=None):
         self._q: "queue.Queue" = queue.Queue(maxsize=size)
         self._stop = threading.Event()
+        self._place = place_fn or jax.device_put
         self._thread = threading.Thread(
             target=self._produce, args=(iterator,), daemon=True)
         self._thread.start()
@@ -44,7 +45,7 @@ class _Prefetcher:
     def _produce(self, iterator):
         try:
             for item in iterator:
-                item = jax.device_put(item)
+                item = self._place(item)
                 while not self._stop.is_set():
                     try:
                         self._q.put(item, timeout=0.2)
@@ -87,7 +88,10 @@ class _Prefetcher:
         self.close()
 
 
-def prefetch_to_device(iterator: Iterator, size: int = 2) -> _Prefetcher:
-    """Run `iterator` in a daemon thread, jax.device_put each item, keep
-    `size` items buffered. Call .close() if you stop consuming early."""
-    return _Prefetcher(iterator, size)
+def prefetch_to_device(iterator: Iterator, size: int = 2,
+                       place_fn=None) -> _Prefetcher:
+    """Run `iterator` in a daemon thread, place each item on device (default
+    jax.device_put; pass `place_fn` for mesh-sharded placement, e.g.
+    parallel.sharding.shard_staged_batch), keep `size` items buffered.
+    Call .close() if you stop consuming early."""
+    return _Prefetcher(iterator, size, place_fn)

@@ -94,7 +94,9 @@ def write_stats(path: str, **metric_groups) -> str:
     for name, values in metric_groups.items():
         if values is None:
             continue
-        if isinstance(values, dict):
+        if isinstance(values, str):
+            payload[name] = values
+        elif isinstance(values, dict):
             payload[name] = {k: float(v) for k, v in values.items()}
         elif np.isscalar(values) or np.ndim(values) == 0:
             payload[name] = float(values)
@@ -103,6 +105,38 @@ def write_stats(path: str, **metric_groups) -> str:
     with open(path, "w") as f:
         json.dump(payload, f, indent=2)
     return path
+
+
+def save_variables_npz(path: str, variables: Dict) -> str:
+    """Save a (nested) Flax variables dict as a flat npz with '/'-joined
+    keys — the torch-free pretrained-weight artifact format
+    (scripts/convert_weights.py)."""
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(f"{prefix}/{k}" if prefix else str(k), v)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    walk("", variables)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, **flat)
+    return path
+
+
+def load_variables_npz(path: str) -> Dict:
+    """Inverse of save_variables_npz: flat '/'-joined npz -> nested dict."""
+    out: Dict = {}
+    with np.load(path) as data:
+        for key in data.files:
+            node = out
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = data[key]
+    return out
 
 
 def visualize_depth(depth: np.ndarray,

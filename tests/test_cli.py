@@ -139,6 +139,133 @@ def test_eval_helpers():
     np.testing.assert_allclose(traj[3][:3, :3], np.eye(3))
 
 
+@pytest.mark.slow
+def test_optimize_freezes_spatial_encoder():
+    """Reference parity (neo360/model.py:957-981): is_optimize/finetune
+    freezes the SpatialEncoder params (lr pinned 5e-6) while the rest of the
+    model trains."""
+    import flax
+    import jax
+    import jax.numpy as jnp
+    from neo360_tpu.models.neo360 import NeRFTP
+    from neo360_tpu.train import loop as tl
+    from __graft_entry__ import _example_inputs
+
+    cfg = preset("neo360", is_optimize=True, run_max_steps=10)
+    model = NeRFTP(num_coarse_samples=4, num_fine_samples=4,
+                   grid_size=(8, 8, 8), remat_encoder=False)
+    batch = {k: jnp.asarray(v)
+             for k, v in _example_inputs(n_rays=16, hw=(24, 32)).items()}
+    variables = cli._init_variables(cfg, model, batch)
+    optimizer = cli.build_optimizer(cfg, variables["params"])
+    loss_fn = cli.make_loss_fn(cfg, model, variables)
+    step_fn = jax.jit(tl.make_train_step(loss_fn, optimizer,
+                                         with_model_state=True))
+    state = tl.create_train_state(variables["params"], optimizer,
+                                  variables["batch_stats"])
+    for i in range(2):
+        state, _ = step_fn(state, batch, jax.random.PRNGKey(i))
+    before = flax.traverse_util.flatten_dict(
+        jax.device_get(variables["params"]))
+    after = flax.traverse_util.flatten_dict(jax.device_get(state.params))
+    moved = 0
+    for k in before:
+        same = np.array_equal(np.asarray(before[k]), np.asarray(after[k]))
+        if "spatial_encoder" in k:
+            assert same, f"frozen SpatialEncoder param moved: {k}"
+        elif not same:
+            moved += 1
+    assert moved > 0, "no non-encoder params trained"
+
+
+def test_build_optimizer_freeze_needs_params():
+    cfg = preset("neo360", is_optimize=True)
+    with pytest.raises(ValueError):
+        cli.build_optimizer(cfg)
+
+
+@pytest.mark.slow
+def test_mip_train_frac_threaded():
+    """The train step threads state.step into the mip loss so the proposal
+    anneal (reference mipnerf360/model.py:433-437) is active — the loss must
+    depend on the step."""
+    import jax
+    import jax.numpy as jnp
+    from neo360_tpu.models.mipnerf360 import MipNeRF360
+    from __graft_entry__ import _example_inputs
+
+    cfg = preset("mipnerf360")
+    model = MipNeRF360(num_prop_samples=4, num_nerf_samples=4,
+                       nerf_netwidth=32, prop_netwidth=16, prop_netdepth=2)
+    batch = {k: jnp.asarray(v)
+             for k, v in _example_inputs(n_rays=8, hw=(24, 32)).items()}
+    variables = cli._init_variables(cfg, model, batch)
+    loss_fn = cli.make_loss_fn(cfg, model, variables)
+    key = jax.random.PRNGKey(0)
+    l0, _ = loss_fn(variables["params"], batch, key, jnp.int32(0))
+    l1, _ = loss_fn(variables["params"], batch, key, jnp.int32(500_000))
+    assert float(l0) != float(l1), "train_frac anneal has no effect"
+
+
+def test_shard_staged_batch_and_rounding():
+    import jax
+    from neo360_tpu.parallel import sharding as sh
+
+    mesh = sh.make_mesh()
+    assert mesh.shape["data"] == jax.device_count() == 8
+    batches = {
+        "rays_o": np.zeros((4, 16, 3), np.float32),     # sharded on axis 1
+        "src_imgs": np.zeros((4, 3, 8, 8, 3), np.float32),  # replicated
+    }
+    placed = sh.shard_staged_batch(batches, mesh)
+    spec_rays = placed["rays_o"].sharding.spec
+    assert tuple(spec_rays) == (None, "data")
+    assert placed["src_imgs"].sharding.is_fully_replicated
+
+    cfg = preset("neo360", ray_batch_size=500)
+    cfg = cli._round_to_devices(cfg, "ray_batch_size", 8)
+    assert cfg.ray_batch_size == 504
+
+
+def test_render_trajectory_vanilla(micro_scene, tmp_path):
+    """vis_only 360 flythrough: spiral poses -> rays -> video file."""
+    from neo360_tpu.data.nerds360 import NeRDS360
+
+    cfg = preset("vanilla", root_dir=micro_scene, img_wh=(16, 12))
+    ds = NeRDS360(micro_scene, "test", (16, 12))
+    calls = []
+
+    def render_fn(sample):
+        assert sample["rays_o"].shape == (16 * 12, 3)
+        calls.append(1)
+        return {"rgb": np.full((16 * 12, 3), 0.5, np.float32)}
+
+    path = cli._render_trajectory(cfg, render_fn, ds, str(tmp_path),
+                                  n_frames=4)
+    assert os.path.exists(path) and len(calls) == 4
+
+
+def test_render_trajectory_fewshot(multi_scene_root, tmp_path):
+    from neo360_tpu.data.nerds360_ae import NeRDS360AE
+
+    cfg = preset("neo360", root_dir=multi_scene_root, img_wh=(16, 12))
+    ds = NeRDS360AE(multi_scene_root, "test", (16, 12), 3)
+    seen = []
+
+    def render_fn(sample):
+        # spiral samples must carry the few-shot conditioning stack
+        for k in ("src_imgs", "src_poses", "src_focal", "src_c", "radii"):
+            assert k in sample, k
+        seen.append(np.asarray(sample["rays_o"][0]))
+        return {"rgb": np.full((16 * 12, 3), 0.25, np.float32)}
+
+    path = cli._render_trajectory(cfg, render_fn, ds, str(tmp_path),
+                                  n_frames=3)
+    assert os.path.exists(path) and len(seen) == 3
+    # the spiral actually moves the camera
+    assert not np.allclose(seen[0], seen[1])
+
+
 def test_num_src_views_from_render_name(tmp_path):
     """Reference parity: '5views...' render_name sets num_src_views=5 when
     the flag is absent (neo360/model.py:606-616); explicit flag wins."""
