@@ -101,11 +101,17 @@ def load_torch_weights(path: str) -> Optional[Dict[str, Any]]:
     """Load VGG16+lin weights from a torch checkpoint.
 
     Expected dict keys: torchvision VGG16 `features.{idx}.weight/.bias`
-    plus lpips `lin{i}.model.1.weight`. Returns Flax variables or None.
+    plus lpips `lin{i}.model.1.weight`. Also accepts the torch-free `.npz`
+    artifact written by scripts/convert_weights.py. Returns Flax variables
+    or None.
     """
     import os
     if not os.path.exists(path):
         return None
+    if path.endswith(".npz"):
+        from neo360_tpu.utils.io import load_variables_npz
+        loaded = load_variables_npz(path)
+        return loaded if "params" in loaded else None
     import torch
     sd = torch.load(path, map_location="cpu", weights_only=True)
     sd = {k: np.asarray(v) for k, v in sd.items()}

@@ -184,13 +184,17 @@ def convert_torch_state_dict(state_dict: Dict[str, Any],
 
 
 def load_pretrained(path: Optional[str]):
-    """Load a torch checkpoint (resnet34 state_dict, CPU) if `path` exists;
-    returns Flax variables or None."""
+    """Load pretrained backbone weights if `path` exists; returns Flax
+    variables or None. Accepts either a torch resnet34 state_dict checkpoint
+    or the torch-free `.npz` artifact written by scripts/convert_weights.py."""
     if path is None:
         return None
     import os
     if not os.path.exists(path):
         return None
+    if path.endswith(".npz"):
+        from neo360_tpu.utils.io import load_variables_npz
+        return load_variables_npz(path)
     import torch
     sd = torch.load(path, map_location="cpu", weights_only=True)
     sd = {k: v.numpy() for k, v in sd.items()}
