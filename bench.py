@@ -197,12 +197,16 @@ def main():
     # neo360_fast path when quality-gated; train/loop.py
     # make_scene_stage_trainer). 0 = per-step encoding.
     stage_k = int(os.environ.get("NEO360_BENCH_STAGE", "0"))
+    # NEO360_BENCH_SCENES=S (>1): SCENE-MIXED stages — S scenes encoded once
+    # per stage, every step mixing rays from all S (the quality-gated
+    # production stage shape; see make_scene_stage_fns docstring).
+    n_mix = int(os.environ.get("NEO360_BENCH_SCENES", "1"))
     key = jax.random.PRNGKey(7)
     if stage_k:
         from neo360_tpu.models.neo360 import SRC_KEYS, make_scene_stage_fns
-        assert n_steps % stage_k == 0
+        assert n_steps % stage_k == 0 and n_rays % n_mix == 0
         n_stages = n_steps // stage_k
-        encode_fn, stage_loss = make_scene_stage_fns(model)
+        encode_fn, stage_loss = make_scene_stage_fns(model, mixed=n_mix > 1)
         enc_opt = optax.chain(optax.clip_by_global_norm(0.05),
                               optax.adam(5e-4))
         ray_opt = optax.chain(optax.clip_by_global_norm(0.05),
@@ -211,9 +215,18 @@ def main():
             encode_fn, stage_loss, enc_opt, ray_opt, multi_stage=True)
         state = tl.create_scene_stage_state(
             variables["params"], enc_opt, ray_opt, variables["batch_stats"])
-        srcs = {k: jnp.stack([batch[k]] * n_stages) for k in SRC_KEYS}
-        rbs = {k: batches[k].reshape((n_stages, stage_k) + batch[k].shape)
-               for k in ("rays_o", "rays_d", "viewdirs", "target")}
+        if n_mix > 1:
+            srcs = {k: jnp.stack([jnp.stack([batch[k]] * n_mix)] * n_stages)
+                    for k in SRC_KEYS}
+            rbs = {k: batches[k].reshape(
+                       (n_stages, stage_k, n_mix, n_rays // n_mix)
+                       + batch[k].shape[1:])
+                   for k in ("rays_o", "rays_d", "viewdirs", "target")}
+        else:
+            srcs = {k: jnp.stack([batch[k]] * n_stages) for k in SRC_KEYS}
+            rbs = {k: batches[k].reshape(
+                       (n_stages, stage_k) + batch[k].shape)
+                   for k in ("rays_o", "rays_d", "viewdirs", "target")}
         _stamp(f"compiling scene-stage trainer (K={stage_k})")
         state, m = runner(state, srcs, rbs, key)              # compile
         float(m["mse"])

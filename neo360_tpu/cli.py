@@ -57,6 +57,11 @@ def parse_args(argv=None) -> Config:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true",
                    help="bf16 compute in encoders/MLPs (params stay f32)")
+    p.add_argument("--stage_k", type=int, default=None,
+                   help="scene-stage trainer: steps per encode-once stage "
+                        "(0/1 = per-step encoding)")
+    p.add_argument("--stage_scenes", type=int, default=None,
+                   help="scenes mixed per stage (requires stage_k > 1)")
     a = p.parse_args(argv)
 
     # reference parity: the source-view count rides the render_name's
@@ -527,27 +532,83 @@ def run_train(cfg: Config):
     variables = _maybe_load_resnet(cfg, variables)
     optimizer = build_optimizer(cfg, variables["params"])
     loss_fn = make_loss_fn(cfg, model, variables, lpips_model)
-    step_fn = tl.make_train_step(loss_fn, optimizer, with_model_state=True)
     stage_size = max(1, min(cfg.steps_per_call, cfg.save_every_steps,
                             cfg.run_max_steps))
-    staged = tl.make_staged_trainer(step_fn)
-    state = tl.create_train_state(variables["params"], optimizer,
-                                  variables["batch_stats"])
+    # scene-stage (encode-once) trainer: the TPU-first production path for
+    # generalizable NeO-360 training (train/loop.py make_scene_stage_trainer)
+    # — the encoder runs once per stage_k steps instead of the reference's
+    # per-step re-encode (neo360/model.py:266-273). Not used for optimize/
+    # finetune (encoder frozen there — per-step encoding is already cheap
+    # relative to the pinned-lr fine-tune protocol).
+    use_stage = (cfg.stage_k > 1
+                 and cfg.exp_type in ("neo360", "neo360_fast")
+                 and not (cfg.is_optimize or cfg.finetune_lpips))
+    if use_stage:
+        import optax
+        from neo360_tpu.models.neo360 import (SRC_KEYS,
+                                              make_scene_stage_fns)
+        if cfg.ray_batch_size % cfg.stage_scenes:
+            raise ValueError(
+                f"ray_batch_size {cfg.ray_batch_size} must divide by "
+                f"stage_scenes {cfg.stage_scenes}")
+        stage_size = max(cfg.stage_k,
+                         stage_size - stage_size % cfg.stage_k)
+        n_stages = stage_size // cfg.stage_k
+        encode_fn, stage_loss = make_scene_stage_fns(
+            model, white_bkgd=cfg.white_back,
+            mixed=cfg.stage_scenes > 1)
+        # The encoder takes 1/K as many Adam updates as per-step training;
+        # Adam's per-update step size is ~lr regardless of gradient scale,
+        # so matching the control's parameter travel needs enc lr x K
+        # (fixture A/B without this: 15.4 vs 26.6 val PSNR at K=8).
+        enc_optimizer = optax.chain(build_optimizer(cfg),
+                                    optax.scale(float(cfg.stage_k)))
+        runner = tl.make_scene_stage_trainer(
+            encode_fn, stage_loss, enc_optimizer, optimizer,
+            multi_stage=True)
+        state = tl.create_scene_stage_state(
+            variables["params"], enc_optimizer, optimizer,
+            variables["batch_stats"])
+    else:
+        step_fn = tl.make_train_step(loss_fn, optimizer,
+                                     with_model_state=True)
+        staged = tl.make_staged_trainer(step_fn)
+        state = tl.create_train_state(variables["params"], optimizer,
+                                      variables["batch_stats"])
     state, start_step = _maybe_resume(ckpt, state)
     place_fn = None
     if mesh is not None:
         from neo360_tpu.parallel import sharding as sh
         state = sh.replicate_tree(state, mesh)
-        # staged (K, B, ...) batches sharded on the per-step ray axis; the
-        # scan in make_staged_trainer then runs each step data-parallel
-        place_fn = functools.partial(sh.shard_staged_batch, mesh=mesh)
+        if use_stage:
+            ray_axis = 3 if cfg.stage_scenes > 1 else 2
+
+            def place_fn(item):
+                srcs, rbs = item
+                return (sh.replicate_tree(srcs, mesh),
+                        sh.shard_stage_batch(rbs, mesh, ray_axis))
+        else:
+            # staged (K, B, ...) batches sharded on the per-step ray axis;
+            # the scan in make_staged_trainer then runs each step
+            # data-parallel
+            place_fn = functools.partial(sh.shard_staged_batch, mesh=mesh)
+
+    ray_keys_stage = ("rays_o", "rays_d", "viewdirs", "target")
 
     def staged_iterator():
         rng = np.random.default_rng(cfg.seed)
         keys = RAY_KEYS_FEWSHOT + ("target",)
         while True:
-            samples = [train_ds.sample_train(rng) for _ in range(stage_size)]
-            yield tl.stack_batches(samples, keys)
+            if use_stage:
+                stages = [train_ds.sample_train_stage(
+                              rng, cfg.stage_k, n_scenes=cfg.stage_scenes)
+                          for _ in range(n_stages)]
+                yield (tl.stack_batches(stages, SRC_KEYS),
+                       tl.stack_batches(stages, ray_keys_stage))
+            else:
+                samples = [train_ds.sample_train(rng)
+                           for _ in range(stage_size)]
+                yield tl.stack_batches(samples, keys)
 
     key = jax.random.PRNGKey(cfg.seed + 2)
     it = prefetch_to_device(staged_iterator(), size=2, place_fn=place_fn)
@@ -556,7 +617,11 @@ def run_train(cfg: Config):
         if step >= cfg.run_max_steps:
             it.close()
             break
-        state, m = staged(state, batches, jax.random.fold_in(key, i))
+        k_i = jax.random.fold_in(key, i)
+        if use_stage:
+            state, m = runner(state, batches[0], batches[1], k_i)
+        else:
+            state, m = staged(state, batches, k_i)
         step += stage_size
         if step % cfg.log_every_steps < stage_size:
             logger.log(step, {k: float(v) for k, v in m.items()})

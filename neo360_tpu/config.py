@@ -52,6 +52,15 @@ class Config:
     lr_delay_mult: float = 0.01
     grad_max_norm: float = 0.0             # 0 = no clipping
     steps_per_call: int = 100              # fori_loop steps per jit call
+    # scene-stage (encode-once) trainer (train/loop.py
+    # make_scene_stage_trainer): a stage = stage_k consecutive steps against
+    # frozen encoder tables, encoder updated once per stage via exact
+    # VJP-pullback gradient accumulation. stage_scenes > 1 = SCENE-MIXED
+    # stages (each step's rays drawn from all S scenes — required for
+    # quality; single-scene stages measured -4 dB at K=4). 0/1 = reference
+    # per-step encoding. neo360/neo360_fast only.
+    stage_k: int = 0
+    stage_scenes: int = 1
 
     # run modes
     eval_mode: Optional[str] = None        # None | full_eval | vis_only

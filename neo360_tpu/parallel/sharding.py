@@ -83,6 +83,28 @@ def shard_staged_batch(batches: Dict, mesh: Mesh, axis: str = "data") -> Dict:
     return {k: place(v) for k, v in batches.items()}
 
 
+def shard_stage_batch(rbs: Dict, mesh: Mesh, ray_axis: int,
+                      axis: str = "data") -> Dict:
+    """Place scene-stage ray batches with the per-step RAY axis sharded.
+
+    `rbs` arrays are (n_stages, K, B, ...) for single-scene stages
+    (ray_axis=2) or (n_stages, K, S, B/S, ...) for scene-mixed stages
+    (ray_axis=3); the nested scans in make_scene_stage_trainer then see
+    per-step batches sharded on their ray dimension. Non-divisible arrays
+    replicate."""
+    n = mesh.shape[axis]
+    spec = [None] * ray_axis + [axis]
+    sh_rays = NamedSharding(mesh, P(*spec))
+    sh_repl = replicated(mesh)
+
+    def place(x):
+        x = jax.numpy.asarray(x)
+        ok = x.ndim > ray_axis and x.shape[ray_axis] % n == 0
+        return jax.device_put(x, sh_rays if ok else sh_repl)
+
+    return {k: place(v) for k, v in rbs.items()}
+
+
 def tp_param_shardings(params, mesh: Mesh, axis: str = "model",
                        min_tp_width: int = 512):
     """Pytree of NamedShardings for params: Dense kernels with a wide,

@@ -83,6 +83,34 @@ def test_neo360_cli_train_smoke(multi_scene_root, tmp_path, monkeypatch):
     assert os.path.exists(metrics_file)
 
 
+@pytest.mark.slow
+def test_neo360_cli_stage_train_smoke(multi_scene_root, tmp_path,
+                                      monkeypatch):
+    """Scene-stage (encode-once) production path through cli.run_train:
+    --stage_k/--stage_scenes select make_scene_stage_trainer with mixed
+    stages; steps advance and metrics log as in per-step mode."""
+    from neo360_tpu.models.neo360 import NeRFTP
+
+    def tiny_build(cfg):
+        return NeRFTP(num_coarse_samples=6, num_fine_samples=6,
+                      grid_size=(8, 8, 8), remat_encoder=False,
+                      num_src_views=cfg.num_src_views)
+
+    monkeypatch.setattr(cli, "build_model", tiny_build)
+    cfg = cli.parse_args([
+        "--exp_type", "neo360", "--root_dir", multi_scene_root,
+        "--img_wh", "40", "30", "--run_max_steps", "8",
+        "--ray_batch_size", "64", "--exp_name", "s",
+        "--stage_k", "4", "--stage_scenes", "2",
+        "--ckpt_dir", str(tmp_path), "--save_every_steps", "8"])
+    cfg = cfg.replace(steps_per_call=8)
+    state = cli.run_train(cfg)
+    assert int(state.step) == 8
+    assert os.path.exists(os.path.join(str(tmp_path), "s", "metrics.jsonl"))
+    # the merged params view keeps render/checkpoint compatibility
+    assert "encoder" in state.params
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import jax.numpy as jnp
     import optax

@@ -110,6 +110,152 @@ def test_scene_stage_k1_matches_joint_grad():
     assert compared >= 10, f"only {compared} leaves had comparable gradients"
 
 
+def test_scene_stage_k2_accumulation_matches_mean_grad():
+    """K=2 accumulation exactness: with rays frozen (sgd 0), the stage's
+    encoder gradient must equal the MEAN of the two steps' joint gradients
+    (same tables, same ray params, per-step rng keys from the scan's split
+    chain) — verifies the cotangent accumulation and key sequencing that
+    only exist at K>1."""
+    model, batch, variables = _setup()
+    encode_fn, loss_fn = make_scene_stage_fns(model)
+    enc_opt = optax.sgd(1.0)
+    ray_opt = optax.sgd(0.0)
+    run = tl.make_scene_stage_trainer(encode_fn, loss_fn, enc_opt, ray_opt)
+    state = tl.create_scene_stage_state(variables["params"], enc_opt,
+                                        ray_opt, variables["batch_stats"])
+    params0 = jax.tree_util.tree_map(np.asarray,
+                                     jax.device_get(variables["params"]))
+    bs0 = jax.tree_util.tree_map(np.asarray,
+                                 jax.device_get(variables["batch_stats"]))
+
+    src = {k: batch[k] for k in SRC_KEYS}
+    # two DIFFERENT ray batches: second = first rolled (different pixels)
+    rb = {k: jnp.stack([batch[k], jnp.roll(batch[k], 3, axis=0)])
+          for k in ("rays_o", "rays_d", "viewdirs", "target")}
+    rb_h = jax.device_get(rb)
+    key = jax.random.PRNGKey(11)
+    new_state, metrics = run(state, src, rb, key)
+    assert int(new_state.step) == 2
+    assert np.isfinite(float(metrics["mse"]))
+
+    # per-step keys as the scan body splits them
+    k_carry, k1 = jax.random.split(key)
+    _, k2 = jax.random.split(k_carry)
+
+    def joint_loss(params, step_i, step_key):
+        rays = {k: jnp.asarray(rb_h[k][step_i]) for k in
+                ("rays_o", "rays_d", "viewdirs")}
+        rays.update({k: batch[k] for k in SRC_KEYS})
+        out, _ = model.apply(
+            {"params": params, "batch_stats": bs0},
+            rays, True, False, train=True, rngs={"sampling": step_key},
+            mutable=["batch_stats"])
+        l1 = img2mse(out[1]["rgb"], jnp.asarray(rb_h["target"][step_i]))
+        return l1 + neo360_interlevel_loss(out) + neo360_distortion_loss(out)
+
+    g1 = jax.grad(joint_loss)(params0, 0, k1)
+    g2 = jax.grad(joint_loss)(params0, 1, k2)
+    g = jax.tree_util.tree_map(lambda a, b: (a + b) / 2.0, g1, g2)
+    g_enc, _ = tl.partition_encoder_params(g)
+    enc0, _ = tl.partition_encoder_params(params0)
+    got = jax.device_get(new_state.enc_params)
+    global_scale = max(float(np.max(np.abs(np.asarray(leaf))))
+                       for leaf in jax.tree_util.tree_leaves(g_enc))
+    compared = 0
+    for key_top in g_enc:
+        flat_g = jax.tree_util.tree_flatten(g_enc[key_top])[0]
+        flat_0 = jax.tree_util.tree_flatten(enc0[key_top])[0]
+        flat_n = jax.tree_util.tree_flatten(got[key_top])[0]
+        for direct, p0, pn in zip(flat_g, flat_0, flat_n):
+            stage_grad = np.asarray(p0, np.float64) - np.asarray(
+                pn, np.float64)
+            direct = np.asarray(direct, np.float64)
+            leaf_max = max(np.max(np.abs(direct)),
+                           np.max(np.abs(stage_grad)))
+            if leaf_max < 5e-2 * global_scale:
+                continue
+            np.testing.assert_allclose(
+                stage_grad / global_scale, direct / global_scale,
+                rtol=5e-2, atol=1e-3)
+            compared += 1
+    assert compared >= 10, f"only {compared} leaves compared"
+
+
+def test_scene_mixed_k1_matches_joint_grad():
+    """SCENE-MIXED exactness: a K=1, S=2 mixed stage's encoder update must
+    equal the direct joint gradient of mean-over-scenes loss at the same
+    point with the same per-scene rng keys — catches any scene/table pairing
+    or cotangent-accumulation bug in the mixed path."""
+    model, batch, variables = _setup()
+    encode_fn, loss_fn = make_scene_stage_fns(model, mixed=True)
+    enc_opt = optax.sgd(1.0)
+    ray_opt = optax.sgd(0.0)
+    run = tl.make_scene_stage_trainer(encode_fn, loss_fn, enc_opt, ray_opt)
+    state = tl.create_scene_stage_state(variables["params"], enc_opt,
+                                        ray_opt, variables["batch_stats"])
+    params0 = jax.tree_util.tree_map(np.asarray,
+                                     jax.device_get(variables["params"]))
+    bs0 = jax.tree_util.tree_map(np.asarray,
+                                 jax.device_get(variables["batch_stats"]))
+
+    # two genuinely different scenes: darken scene 1's sources and targets
+    src = {k: jnp.stack([batch[k], batch[k]]) for k in SRC_KEYS}
+    src["src_imgs"] = src["src_imgs"].at[1].mul(0.5)
+    rb = {k: jnp.stack([batch[k], batch[k]])[None]
+          for k in ("rays_o", "rays_d", "viewdirs", "target")}
+    rb["target"] = rb["target"].at[0, 1].mul(0.5)
+    key = jax.random.PRNGKey(7)
+    new_state, metrics = run(state, src, rb, key)
+    assert np.isfinite(float(metrics["mse"]))
+
+    # direct joint gradient: mean over scenes of the per-scene loss, same
+    # per-scene sampling keys as the stage's loss_fn (split of the step key)
+    _, k_step = jax.random.split(key)
+    keys = jax.random.split(k_step, 2)
+    src_h = jax.device_get(src)
+    rb_h = jax.device_get(rb)
+
+    def joint_loss(params):
+        total = 0.0
+        for i in range(2):
+            rays = {k: rb_h[k][0, i] for k in ("rays_o", "rays_d",
+                                               "viewdirs")}
+            rays.update({k: src_h[k][i] for k in SRC_KEYS})
+            out, _ = model.apply({"params": params, "batch_stats": bs0},
+                                 rays, True, False, train=True,
+                                 rngs={"sampling": keys[i]},
+                                 mutable=["batch_stats"])
+            l1 = img2mse(out[1]["rgb"], rb_h["target"][0, i])
+            total += (l1 + neo360_interlevel_loss(out)
+                      + neo360_distortion_loss(out))
+        return total / 2.0
+
+    g = jax.grad(joint_loss)(params0)
+    g_enc, _ = tl.partition_encoder_params(g)
+    enc0, _ = tl.partition_encoder_params(params0)
+    got = jax.device_get(new_state.enc_params)
+    global_scale = max(float(np.max(np.abs(np.asarray(leaf))))
+                       for leaf in jax.tree_util.tree_leaves(g_enc))
+    compared = 0
+    for key_top in g_enc:
+        flat_g = jax.tree_util.tree_flatten(g_enc[key_top])[0]
+        flat_0 = jax.tree_util.tree_flatten(enc0[key_top])[0]
+        flat_n = jax.tree_util.tree_flatten(got[key_top])[0]
+        for direct, p0, pn in zip(flat_g, flat_0, flat_n):
+            stage_grad = np.asarray(p0, np.float64) - np.asarray(
+                pn, np.float64)
+            direct = np.asarray(direct, np.float64)
+            leaf_max = max(np.max(np.abs(direct)),
+                           np.max(np.abs(stage_grad)))
+            if leaf_max < 5e-2 * global_scale:
+                continue                     # noise-only (zero-grad) leaf
+            np.testing.assert_allclose(
+                stage_grad / global_scale, direct / global_scale,
+                rtol=5e-2, atol=1e-3)
+            compared += 1
+    assert compared >= 10, f"only {compared} leaves compared"
+
+
 def test_scene_stage_update_cadence():
     """Ray params move every step; encoder params once per stage call."""
     model, batch, variables = _setup()
