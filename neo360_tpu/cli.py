@@ -62,6 +62,8 @@ def parse_args(argv=None) -> Config:
                         "(0/1 = per-step encoding)")
     p.add_argument("--stage_scenes", type=int, default=None,
                    help="scenes mixed per stage (requires stage_k > 1)")
+    p.add_argument("--stage_warmup_steps", type=int, default=None,
+                   help="per-step-encode steps before the first stage")
     a = p.parse_args(argv)
 
     # reference parity: the source-view count rides the render_name's
@@ -285,8 +287,12 @@ def make_loss_fn(cfg: Config, model, variables, lpips_model=None):
 # renderers (encode-once, tiled)
 # ---------------------------------------------------------------------------
 
-def make_render_fn(cfg: Config, model, variables, mesh=None):
-    """Returns render_fn(sample) -> {"rgb","depth"} for full images.
+def make_render_fn(cfg: Config, model, mesh=None):
+    """Returns render_fn(variables, sample) -> {"rgb","depth"} for full
+    images. `variables` rides through as a jit ARGUMENT (never a closure
+    constant), so ONE compiled renderer serves every validation/scene of a
+    run — the reference likewise compiles nothing per val
+    (neo360/model.py:822-907).
 
     With a `mesh`, every ray tile is sharded over the mesh's "data" axis
     (train/loop.py make_image_renderer): all chips render slices of the tile
@@ -316,7 +322,7 @@ def make_render_fn(cfg: Config, model, variables, mesh=None):
         keys = (("rays_o", "rays_d", "viewdirs") if cfg.exp_type == "vanilla"
                 else ("rays_o", "rays_d", "viewdirs", "radii"))
 
-        def render_fn(sample):
+        def render_fn(variables, sample):
             rays = {k: jnp.asarray(sample[k]) for k in keys}
             return renderer(variables["params"], rays)
         return render_fn
@@ -340,7 +346,7 @@ def make_render_fn(cfg: Config, model, variables, mesh=None):
 
         renderer = make_image_renderer(render_chunk, cfg.chunk, mesh=mesh)
 
-        def render_fn(sample):
+        def render_fn(variables, sample):
             src = {k: jnp.asarray(sample[k]) for k in
                    ("src_imgs", "src_poses", "src_focal", "src_c")}
             latent = model.apply(variables, src["src_imgs"],
@@ -370,7 +376,7 @@ def make_render_fn(cfg: Config, model, variables, mesh=None):
 
         renderer = make_image_renderer(render_chunk, cfg.chunk, mesh=mesh)
 
-        def render_fn(sample):
+        def render_fn(variables, sample):
             src = {k: jnp.asarray(sample[k]) for k in
                    ("src_imgs", "src_poses", "src_focal", "src_c")}
             encoded = model.apply(
@@ -440,7 +446,14 @@ def _maybe_resume(ckpt, state):
     latest = ckpt.latest_step()
     if latest is None:
         return state, 0
-    restored = ckpt.restore(jax.device_get(state))
+    try:
+        restored = ckpt.restore(jax.device_get(state))
+    except Exception as e:
+        raise ValueError(
+            f"checkpoint at step {latest} does not match this run's trainer "
+            f"state layout — resuming a per-step run with --stage_k (or vice "
+            f"versa) is not supported; start a fresh exp_name or keep the "
+            f"original trainer flags ({type(e).__name__}: {e})") from e
     print(f"resumed from checkpoint step {latest}")
     return restored, int(latest)
 
@@ -461,6 +474,12 @@ def run_train(cfg: Config):
     if cfg.finetune_lpips or cfg.lpips_weights:
         from neo360_tpu.nn.lpips import LPIPSModel
         lpips_model = LPIPSModel(cfg.lpips_weights)
+    if cfg.finetune_lpips and not (lpips_model and lpips_model.pretrained):
+        # stage 2 (reference run.py:93-97) IS the LPIPS loss — training
+        # without the weights would silently run stage 1 at a pinned 5e-6 lr
+        raise ValueError(
+            "--finetune_lpips requires pretrained LPIPS weights: pass "
+            "--lpips_weights <npz> (see scripts/convert_weights.py)")
 
     model = build_model(cfg)
     mesh = _make_mesh_if_multichip()
@@ -488,6 +507,9 @@ def run_train(cfg: Config):
                 {k: jnp.asarray(v) for k, v in buffers.items()}, mesh)
         runner = tl.make_buffer_trainer(step_fn, cfg.batch_size,
                                         cfg.steps_per_call, mesh=mesh)
+        # built ONCE per run: params ride the renderer's jit arguments, so
+        # every validation reuses the same compiled renderer
+        render_fn = make_render_fn(cfg, model, mesh=mesh)
         key = jax.random.PRNGKey(cfg.seed + 2)
         step = start_step
         while step < cfg.run_max_steps:
@@ -497,9 +519,8 @@ def run_train(cfg: Config):
             logger.log(step, {k: float(v) for k, v in m.items()})
             if step % cfg.save_every_steps < cfg.steps_per_call:
                 variables = dict(variables, params=state.params)
-                render_fn = make_render_fn(cfg, model, variables, mesh=mesh)
                 sample = val_ds.image_rays(0)
-                out = render_fn(sample)
+                out = render_fn(variables, sample)
                 w, h = cfg.img_wh
                 val_psnr = float(psnr_metric(
                     out["rgb"].reshape(h, w, 3),
@@ -543,32 +564,43 @@ def run_train(cfg: Config):
     use_stage = (cfg.stage_k > 1
                  and cfg.exp_type in ("neo360", "neo360_fast")
                  and not (cfg.is_optimize or cfg.finetune_lpips))
+    warm_steps = 0
     if use_stage:
-        import optax
+        import jax.numpy as _jnp
         from neo360_tpu.models.neo360 import (SRC_KEYS,
                                               make_scene_stage_fns)
         if cfg.ray_batch_size % cfg.stage_scenes:
             raise ValueError(
                 f"ray_batch_size {cfg.ray_batch_size} must divide by "
                 f"stage_scenes {cfg.stage_scenes}")
+        if cfg.stage_warmup_steps > 0 and ckpt.latest_step() is None:
+            # hybrid schedule: fresh per-step encoder gradients through the
+            # staleness-sensitive early phase (quality A/B, BASELINE.md),
+            # then encode-once stages. Resumed runs skip straight to stages
+            # (their checkpoints carry the stage-state layout).
+            warm_steps, variables = _run_warmup(
+                cfg, model, variables, optimizer, loss_fn, train_ds, mesh,
+                logger)
         stage_size = max(cfg.stage_k,
                          stage_size - stage_size % cfg.stage_k)
         n_stages = stage_size // cfg.stage_k
         encode_fn, stage_loss = make_scene_stage_fns(
             model, white_bkgd=cfg.white_back,
             mixed=cfg.stage_scenes > 1)
-        # The encoder takes 1/K as many Adam updates as per-step training;
-        # Adam's per-update step size is ~lr regardless of gradient scale,
-        # so matching the control's parameter travel needs enc lr x K
-        # (fixture A/B without this: 15.4 vs 26.6 val PSNR at K=8).
-        enc_optimizer = optax.chain(build_optimizer(cfg),
-                                    optax.scale(float(cfg.stage_k)))
+        # Encoder optimizer: base lr, NO x stage_k scaling. The stage's
+        # accumulated mean cotangent is a LOWER-noise gradient than any
+        # single step's, and Adam's per-update travel is ~lr regardless —
+        # the enc-lr x K "travel matching" rule measured 11.3 val PSNR vs
+        # 23.0 at x1 on the K=16 S=2 fixture A/B (BASELINE.md round 3).
+        enc_optimizer = build_optimizer(cfg)
         runner = tl.make_scene_stage_trainer(
             encode_fn, stage_loss, enc_optimizer, optimizer,
             multi_stage=True)
         state = tl.create_scene_stage_state(
             variables["params"], enc_optimizer, optimizer,
             variables["batch_stats"])
+        if warm_steps:
+            state = state.replace(step=_jnp.asarray(warm_steps, _jnp.int32))
     else:
         step_fn = tl.make_train_step(loss_fn, optimizer,
                                      with_model_state=True)
@@ -576,6 +608,7 @@ def run_train(cfg: Config):
         state = tl.create_train_state(variables["params"], optimizer,
                                       variables["batch_stats"])
     state, start_step = _maybe_resume(ckpt, state)
+    start_step = max(start_step, warm_steps)
     place_fn = None
     if mesh is not None:
         from neo360_tpu.parallel import sharding as sh
@@ -610,6 +643,8 @@ def run_train(cfg: Config):
                            for _ in range(stage_size)]
                 yield tl.stack_batches(samples, keys)
 
+    # built ONCE per run (params/batch_stats flow through the pack argument)
+    render_fn = make_render_fn(cfg, model, mesh=mesh)
     key = jax.random.PRNGKey(cfg.seed + 2)
     it = prefetch_to_device(staged_iterator(), size=2, place_fn=place_fn)
     step = start_step
@@ -628,9 +663,8 @@ def run_train(cfg: Config):
         if step > 0 and step % cfg.save_every_steps < stage_size:
             variables = {"params": state.params,
                          "batch_stats": state.model_state}
-            render_fn = make_render_fn(cfg, model, variables, mesh=mesh)
             sample_v = val_ds.sample_val(0)
-            out = render_fn(sample_v)
+            out = render_fn(variables, sample_v)
             w, h = cfg.img_wh
             from neo360_tpu.train.metrics import psnr as _psnr
             val_psnr = float(_psnr(
@@ -645,6 +679,44 @@ def run_train(cfg: Config):
             ckpt.save(step, jax.device_get(state), {"val_psnr": val_psnr})
     ckpt.wait()
     return state
+
+
+def _run_warmup(cfg: Config, model, variables, optimizer, loss_fn, train_ds,
+                mesh, logger):
+    """Per-step-encode warmup before scene-stage training (hybrid schedule).
+
+    Runs ceil(stage_warmup_steps / steps_per_call) staged dispatches of the
+    plain per-step trainer and returns (steps_done, warmed variables). The
+    stage trainer then starts from these params/batch_stats; its enc/ray
+    Adam moments start fresh at the switch (negligible at production step
+    counts, and the fixture quality A/B is run through this same path)."""
+    import jax
+    from neo360_tpu.train import loop as tl
+
+    per = max(1, min(cfg.steps_per_call, cfg.stage_warmup_steps))
+    n_calls = -(-cfg.stage_warmup_steps // per)
+    step_fn = tl.make_train_step(loss_fn, optimizer, with_model_state=True)
+    staged = tl.make_staged_trainer(step_fn)
+    state = tl.create_train_state(variables["params"], optimizer,
+                                  variables["batch_stats"])
+    if mesh is not None:
+        from neo360_tpu.parallel import sharding as sh
+        state = sh.replicate_tree(state, mesh)
+    rng = np.random.default_rng(cfg.seed + 7)
+    keys = RAY_KEYS_FEWSHOT + ("target",)
+    key = jax.random.PRNGKey(cfg.seed + 9)
+    step = 0
+    for i in range(n_calls):
+        samples = [train_ds.sample_train(rng) for _ in range(per)]
+        batches = tl.stack_batches(samples, keys)
+        if mesh is not None:
+            from neo360_tpu.parallel import sharding as sh
+            batches = sh.shard_staged_batch(batches, mesh)
+        state, m = staged(state, batches, jax.random.fold_in(key, i))
+        step += per
+        logger.log(step, {k: float(v) for k, v in m.items()})
+    print(f"stage warmup: {step} per-step-encode steps done")
+    return step, {"params": state.params, "batch_stats": state.model_state}
 
 
 def run_eval(cfg: Config):
@@ -672,7 +744,8 @@ def run_eval(cfg: Config):
         optimizer = build_optimizer(cfg, variables["params"])
         state = _restore(cfg, exp_dir, variables, optimizer)
         variables = dict(variables, params=state.params)
-        render_fn = make_render_fn(cfg, model, variables, mesh=mesh)
+        render_fn = functools.partial(
+            make_render_fn(cfg, model, mesh=mesh), variables)
         samples = (test_ds.image_rays(i) for i in range(test_ds.num_images))
     else:
         from neo360_tpu.data.nerds360_ae import NeRDS360AE
@@ -690,11 +763,14 @@ def run_eval(cfg: Config):
                      "batch_stats": state.model_state
                      if state.model_state is not None
                      else variables.get("batch_stats")}
-        render_fn = make_render_fn(cfg, model, variables, mesh=mesh)
-        n_dest = len(test_ds.scene_meta(test_ds.scene_ids[0]).c2w_test)
+        render_fn = functools.partial(
+            make_render_fn(cfg, model, mesh=mesh), variables)
+        # per-scene view count: scenes may have heterogeneous test splits
+        # (the reference iterates the dataset length, nerds360_ae.py:501-511)
         samples = (test_ds.sample_test(s, d)
                    for s in range(len(test_ds.scene_ids))
-                   for d in range(n_dest))
+                   for d in range(len(
+                       test_ds.scene_meta(test_ds.scene_ids[s]).c2w_test)))
 
     out_dir = os.path.join(exp_dir, cfg.render_name)
     summary = ev.evaluate_and_save(
@@ -732,18 +808,26 @@ def _render_trajectory(cfg: Config, render_fn, test_ds, out_dir: str,
 
 
 def _restore(cfg: Config, exp_dir: str, variables, optimizer):
-    import jax
+    """Load params/batch_stats for eval from EITHER trainer's checkpoint
+    layout: plain TrainState or the scene-stage enc/ray split (whose merged
+    `params` view this reconstitutes). Raw (template-free) restore keeps the
+    eval path independent of how the run was trained."""
     from neo360_tpu.train import loop as tl
     from neo360_tpu.train.checkpoints import CheckpointManager
     ckpt = CheckpointManager(
         cfg.ckpt_path or os.path.join(exp_dir, "orbax"))
     template = tl.create_train_state(variables["params"], optimizer,
                                      variables.get("batch_stats"))
-    restored = ckpt.restore(jax.device_get(template))
-    if restored is None:
+    raw = ckpt.restore_raw()
+    if raw is None:
         print("WARNING: no checkpoint found; evaluating random init")
         return template
-    return restored
+    if "enc_params" in raw:         # scene-stage trainer layout
+        params = {**raw["enc_params"], **raw["ray_params"]}
+    else:
+        params = raw["params"]
+    return tl.TrainState(step=raw["step"], params=params, opt_state=None,
+                         model_state=raw.get("model_state"))
 
 
 def main(argv=None):

@@ -61,6 +61,10 @@ class Config:
     # per-step encoding. neo360/neo360_fast only.
     stage_k: int = 0
     stage_scenes: int = 1
+    # hybrid schedule: per-step-encode training for the first N steps (fresh
+    # encoder gradients through the staleness-sensitive early phase), then
+    # encode-once stages. Ignored when resuming past it or stage_k <= 1.
+    stage_warmup_steps: int = 0
 
     # run modes
     eval_mode: Optional[str] = None        # None | full_eval | vis_only

@@ -97,7 +97,9 @@ class NeRDS360AE:
                  finetune_lpips: bool = False,
                  patch_size: int = 30,
                  samples_per_epoch: int = 9600,
-                 image_cache_scenes: int = 256):
+                 image_cache_scenes: int = 256,
+                 process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
         # image_cache_scenes counts (scene, kind) entries of decoded+resized
         # images. At 320x240 the FULL NERDS360 train set decoded is ~7 GB
         # (75 scenes x 100 views x ~0.9 MB), so the default keeps everything
@@ -121,6 +123,26 @@ class NeRDS360AE:
             f.name for f in os.scandir(root_dir) if f.is_dir())
         if not self.scene_ids:
             raise ValueError(f"no scene directories under {root_dir!r}")
+        # Multi-host data loading (SURVEY §5): the TRAIN split is partitioned
+        # round-robin over hosts so each host samples only its own scenes —
+        # scene data rides the host's local disk/RAM and DCN carries only
+        # gradients. val/test keep the full scene list on every host (eval
+        # renders are SPMD: all hosts join the collectives, rank 0 does IO).
+        if process_index is None or process_count is None:
+            try:
+                import jax
+                process_index = jax.process_index()
+                process_count = jax.process_count()
+            except Exception:
+                process_index, process_count = 0, 1
+        self.process_index, self.process_count = process_index, process_count
+        if split == "train" and process_count > 1:
+            shard = self.scene_ids[process_index::process_count]
+            if not shard:
+                raise ValueError(
+                    f"host {process_index}/{process_count} has no scenes "
+                    f"({len(self.scene_ids)} total) — need >= 1 per host")
+            self.scene_ids = shard
         self._meta_cache: Dict[str, SceneMeta] = {}
         self._img_cache: OrderedDict = OrderedDict()
         self._img_cache_max = image_cache_scenes

@@ -18,7 +18,16 @@ from orbax.checkpoint.checkpoint_managers import preservation_policy as pp
 
 class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: int = 5,
-                 monitor: str = "val_psnr", keep_all: bool = False):
+                 monitor: str = "val_psnr", keep_all: bool = False,
+                 primary: bool = None):
+        # Rank-0 save guard for multi-host runs (reference interface.py:199
+        # Lightning rank-zero IO): state here is replicated/device_get'able,
+        # so the primary host writes the full checkpoint and other hosts
+        # no-op (they still restore — the path is on shared storage or each
+        # host's copy of the experiment dir). Sharded-state pods would use
+        # orbax's native multihost path instead.
+        from neo360_tpu.train.logging import is_primary_process
+        self.primary = is_primary_process() if primary is None else primary
         self.monitor = monitor
 
         def metric(metrics) -> float:
@@ -42,6 +51,8 @@ class CheckpointManager:
 
     def save(self, step: int, state: Any,
              metrics: Optional[Dict[str, float]] = None):
+        if not self.primary:
+            return
         self._mgr.save(step, args=ocp.args.StandardSave(state),
                        metrics={k: float(v) for k, v in (metrics or {}).items()})
 
@@ -52,6 +63,16 @@ class CheckpointManager:
             return None
         return self._mgr.restore(
             step, args=ocp.args.StandardRestore(state_template))
+
+    def restore_raw(self, step: Optional[int] = None):
+        """Restore the checkpoint as a raw pytree (dict of arrays), without a
+        typed template. Lets eval consume checkpoints from EITHER trainer
+        layout (TrainState or the scene-stage enc/ray split) — the layout is
+        a training detail the eval path should not depend on."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            return None
+        return self._mgr.restore(step, args=ocp.args.StandardRestore())
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()

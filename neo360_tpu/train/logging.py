@@ -14,13 +14,30 @@ import time
 from typing import Dict, Optional
 
 
+def is_primary_process() -> bool:
+    """True on the rank-0 host (or in any single-process run). Multi-host
+    SPMD runs compute on every host but write logs/images/checkpoints only
+    here — the analogue of the reference's Lightning rank-zero guards
+    (interface.py:199)."""
+    try:
+        import jax
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
 class MetricsLogger:
     def __init__(self, log_dir: str, use_wandb: bool = False,
-                 project: str = "neo360_tpu", run_name: str = "run"):
-        os.makedirs(log_dir, exist_ok=True)
-        self.path = os.path.join(log_dir, "metrics.jsonl")
-        self._f = open(self.path, "a")
+                 project: str = "neo360_tpu", run_name: str = "run",
+                 primary: bool = None):
+        self.primary = is_primary_process() if primary is None else primary
         self._wandb = None
+        self._f = None
+        self.path = os.path.join(log_dir, "metrics.jsonl")
+        if not self.primary:
+            return
+        os.makedirs(log_dir, exist_ok=True)
+        self._f = open(self.path, "a")
         if use_wandb:
             try:
                 import wandb
@@ -31,6 +48,8 @@ class MetricsLogger:
                 self._wandb = None
 
     def log(self, step: int, metrics: Dict[str, float]):
+        if not self.primary:
+            return
         rec = {"step": int(step), "time": time.time()}
         rec.update({k: float(v) for k, v in metrics.items()})
         self._f.write(json.dumps(rec) + "\n")
@@ -40,6 +59,8 @@ class MetricsLogger:
 
     def log_image(self, step: int, name: str, image, out_dir: Optional[str] = None):
         """Save a (H, W, 3) float image under the log dir (and W&B)."""
+        if not self.primary:
+            return None
         from neo360_tpu.utils.io import to8b
         from PIL import Image
         out_dir = out_dir or os.path.dirname(self.path)
@@ -52,6 +73,7 @@ class MetricsLogger:
         return path
 
     def close(self):
-        self._f.close()
+        if self._f is not None:
+            self._f.close()
         if self._wandb is not None:
             self._wandb.finish()

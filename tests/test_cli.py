@@ -111,6 +111,33 @@ def test_neo360_cli_stage_train_smoke(multi_scene_root, tmp_path,
     assert "encoder" in state.params
 
 
+@pytest.mark.slow
+def test_neo360_cli_stage_warmup(multi_scene_root, tmp_path, monkeypatch):
+    """Hybrid schedule through run_train: --stage_warmup_steps trains
+    per-step-encode first, then switches to scene stages; the final step
+    count covers both phases."""
+    from neo360_tpu.models.neo360 import NeRFTP
+
+    def tiny_build(cfg):
+        return NeRFTP(num_coarse_samples=4, num_fine_samples=4,
+                      grid_size=(8, 8, 8), remat_encoder=False,
+                      num_src_views=cfg.num_src_views)
+
+    monkeypatch.setattr(cli, "build_model", tiny_build)
+    cfg = cli.parse_args([
+        "--exp_type", "neo360", "--root_dir", multi_scene_root,
+        "--img_wh", "16", "12", "--run_max_steps", "8",
+        "--ray_batch_size", "16", "--exp_name", "w",
+        "--stage_k", "4", "--stage_scenes", "2",
+        "--stage_warmup_steps", "4",
+        "--ckpt_dir", str(tmp_path), "--save_every_steps", "100"])
+    cfg = cfg.replace(steps_per_call=4)
+    state = cli.run_train(cfg)
+    assert int(np.asarray(state.step)) >= 8
+    log = os.path.join(str(tmp_path), "w", "metrics.jsonl")
+    assert os.path.exists(log)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import jax.numpy as jnp
     import optax
@@ -129,7 +156,45 @@ def test_checkpoint_roundtrip(tmp_path):
     restored = mgr.restore(jax.device_get(state))
     np.testing.assert_allclose(np.asarray(restored.params["w"]),
                                np.arange(4.0))
+    # template-free raw restore: field-name-keyed tree of arrays
+    raw = mgr.restore_raw()
+    assert int(raw["step"]) == 0
+    np.testing.assert_allclose(np.asarray(raw["params"]["w"]),
+                               np.arange(4.0))
     mgr.close()
+
+
+def test_eval_restores_scene_stage_checkpoint(tmp_path):
+    """A checkpoint written by the scene-stage trainer (enc/ray split) must
+    be consumable by the eval path's _restore — merged params view, no
+    optimizer template needed."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from neo360_tpu.train import loop as tl
+    from neo360_tpu.train.checkpoints import CheckpointManager
+
+    params = {"encoder": {"w": jnp.ones(2)},
+              "local_proj_fine": {"k": jnp.full(2, 2.0)},
+              "fine_mlp": {"b": jnp.full(3, 3.0)}}
+    opt = optax.adam(1e-3)
+    sstate = tl.create_scene_stage_state(params, opt, opt,
+                                         model_state={"bn": jnp.zeros(1)})
+    sstate = sstate.replace(step=jnp.asarray(4, jnp.int32))
+    exp_dir = str(tmp_path / "exp")
+    mgr = CheckpointManager(os.path.join(exp_dir, "orbax"))
+    mgr.save(4, jax.device_get(sstate), {"val_psnr": 1.0})
+    mgr.wait()
+    mgr.close()
+
+    cfg = preset("neo360", ckpt_dir=str(tmp_path))
+    variables = {"params": params, "batch_stats": {"bn": jnp.zeros(1)}}
+    state = cli._restore(cfg, exp_dir, variables, opt)
+    assert int(state.step) == 4
+    assert set(state.params) == set(params)
+    np.testing.assert_allclose(np.asarray(state.params["fine_mlp"]["b"]),
+                               3.0)
+    assert state.model_state is not None
 
 
 def test_io_outputs(tmp_path):
@@ -204,6 +269,85 @@ def test_optimize_freezes_spatial_encoder():
         elif not same:
             moved += 1
     assert moved > 0, "no non-encoder params trained"
+
+
+def test_finetune_lpips_requires_weights(tmp_path):
+    """--finetune_lpips without pretrained LPIPS weights must hard-fail:
+    the LPIPS term IS stage 2 (reference run.py:93-97) — silently training
+    without it would run stage 1 at a pinned 5e-6 lr."""
+    cfg = preset("neo360", root_dir=str(tmp_path), finetune_lpips=True,
+                 ckpt_dir=str(tmp_path / "ck"))
+    with pytest.raises(ValueError, match="lpips_weights"):
+        cli.run_train(cfg)
+
+
+@pytest.mark.slow
+def test_run_eval_heterogeneous_test_splits(tmp_path, monkeypatch):
+    """run_eval iterates each scene's OWN test-view count (reference
+    nerds360_ae.py:501-511); a scene with fewer val/ views must not raise."""
+    from neo360_tpu.data.fixtures import make_micro_scene
+    from neo360_tpu.models.neo360 import NeRFTP
+    import neo360_tpu.train.eval as ev
+
+    root = str(tmp_path / "scenes")
+    make_micro_scene(os.path.join(root, "scene_a"), n_val=4, wh=(16, 12),
+                     seed=100)
+    make_micro_scene(os.path.join(root, "scene_b"), n_val=2, wh=(16, 12),
+                     seed=101)
+
+    def tiny_build(cfg):
+        return NeRFTP(num_coarse_samples=4, num_fine_samples=4,
+                      grid_size=(8, 8, 8), remat_encoder=False,
+                      num_src_views=cfg.num_src_views)
+
+    monkeypatch.setattr(cli, "build_model", tiny_build)
+    counted = []
+
+    def fake_eval(render_fn, samples, img_wh, out_dir, lpips_model=None,
+                  **kw):
+        counted.extend(s["rays_o"].shape for s in samples)
+        return {"psnr": float(len(counted))}
+
+    monkeypatch.setattr(ev, "evaluate_and_save", fake_eval)
+    cfg = preset("neo360", root_dir=root, img_wh=(16, 12),
+                 eval_mode="full_eval", exp_name="h",
+                 ckpt_dir=str(tmp_path / "ck"))
+    summary = cli.run_eval(cfg)
+    # scene_a contributes 4 test views, scene_b only 2
+    assert summary["psnr"] == 6.0 and len(counted) == 6
+
+
+@pytest.mark.slow
+def test_render_fn_built_once_per_train(multi_scene_root, tmp_path,
+                                        monkeypatch):
+    """One renderer construction (= one compile) per run_train even across
+    multiple validations — the reference compiles nothing per val
+    (neo360/model.py:822-907)."""
+    from neo360_tpu.models.neo360 import NeRFTP
+
+    def tiny_build(cfg):
+        return NeRFTP(num_coarse_samples=4, num_fine_samples=4,
+                      grid_size=(8, 8, 8), remat_encoder=False,
+                      num_src_views=cfg.num_src_views)
+
+    monkeypatch.setattr(cli, "build_model", tiny_build)
+    calls = []
+    real = cli.make_render_fn
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(cli, "make_render_fn", counting)
+    cfg = cli.parse_args([
+        "--exp_type", "neo360", "--root_dir", multi_scene_root,
+        "--img_wh", "16", "12", "--run_max_steps", "8",
+        "--ray_batch_size", "32", "--exp_name", "rc",
+        "--ckpt_dir", str(tmp_path), "--save_every_steps", "4",
+        "--chunk", "192"])
+    cfg = cfg.replace(steps_per_call=4)
+    cli.run_train(cfg)    # 2 validations at steps 4 and 8
+    assert len(calls) == 1, f"renderer rebuilt {len(calls)} times"
 
 
 def test_build_optimizer_freeze_needs_params():

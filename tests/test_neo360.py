@@ -108,6 +108,7 @@ def test_neo360_encode_once_matches_inline(multi_scene_root):
                                np.asarray(b[1]["rgb"]), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_neo360_grads_flow(multi_scene_root):
     ds, batch = _batch(multi_scene_root, n_rays=4)
     model = _tiny_model()
@@ -273,6 +274,7 @@ def test_neo360_proposal_forward_and_loss(multi_scene_root):
     assert "fg_coarse_mlp" not in variables["params"]
 
 
+@pytest.mark.slow
 def test_neo360_proposal_grads_reach_prop_mlp(multi_scene_root):
     from neo360_tpu.models.neo360 import neo360_interlevel_loss
     from neo360_tpu.ops import losses as L
@@ -333,6 +335,7 @@ def test_interlevel_loss_gradient_path():
     assert float(loss_of(covered)) < loss
 
 
+@pytest.mark.slow
 def test_lift_dim_forward_and_grads(multi_scene_root):
     """lift_dim projects the grid-lift rows (nn/triplane.py lift_proj);
     forward runs and gradients reach both the projection and the backbone."""

@@ -1,6 +1,8 @@
 """Multi-device tests on the 8-device virtual CPU mesh (replaces the
 reference's untestable DDP path, SURVEY §4)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -73,6 +75,58 @@ def test_graft_entry_dryrun():
     """The driver's multi-chip dry run must pass on the virtual mesh."""
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_multihost_scene_sharding(multi_scene_root):
+    """SURVEY §5 per-host scene sharding: the train split partitions scene
+    ids round-robin over hosts; val keeps the full list; a host left with
+    zero scenes is an error."""
+    from neo360_tpu.data.nerds360_ae import NeRDS360AE
+
+    full = NeRDS360AE(multi_scene_root, "train", (16, 12)).scene_ids
+    assert len(full) == 3
+    shards = [NeRDS360AE(multi_scene_root, "train", (16, 12),
+                         process_index=i, process_count=2).scene_ids
+              for i in range(2)]
+    assert sorted(shards[0] + shards[1]) == full
+    assert set(shards[0]).isdisjoint(shards[1])
+    val = NeRDS360AE(multi_scene_root, "val", (16, 12),
+                     process_index=1, process_count=2).scene_ids
+    assert val == full
+    with pytest.raises(ValueError):
+        NeRDS360AE(multi_scene_root, "train", (16, 12),
+                   process_index=3, process_count=4)
+
+
+def test_rank0_io_guards(tmp_path):
+    """Non-primary hosts write no logs, images, or checkpoints (reference
+    interface.py:199 rank-zero guards)."""
+    import jax
+    import optax
+    from neo360_tpu.train import loop as tl
+    from neo360_tpu.train.checkpoints import CheckpointManager
+    from neo360_tpu.train.logging import MetricsLogger, is_primary_process
+
+    assert is_primary_process()      # single-process test run
+
+    lg = MetricsLogger(str(tmp_path / "lg"), primary=False)
+    lg.log(1, {"mse": 0.5})
+    assert lg.log_image(1, "grid", np.zeros((4, 4, 3))) is None
+    lg.close()
+    assert not os.path.exists(str(tmp_path / "lg" / "metrics.jsonl"))
+
+    state = tl.create_train_state({"w": jnp.zeros(3)}, optax.adam(1e-3))
+    mgr = CheckpointManager(str(tmp_path / "ck"), primary=False)
+    mgr.save(1, jax.device_get(state), {"val_psnr": 1.0})
+    mgr.wait()
+    assert mgr.latest_step() is None
+    mgr.close()
+
+    # primary default writes normally
+    lg2 = MetricsLogger(str(tmp_path / "lg2"))
+    lg2.log(1, {"mse": 0.5})
+    lg2.close()
+    assert os.path.exists(str(tmp_path / "lg2" / "metrics.jsonl"))
 
 
 @pytest.mark.slow

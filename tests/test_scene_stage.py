@@ -41,6 +41,7 @@ def _setup(n_rays=16):
     return model, batch, variables
 
 
+@pytest.mark.slow
 def test_scene_stage_k1_matches_joint_grad():
     model, batch, variables = _setup()
     encode_fn, loss_fn = make_scene_stage_fns(model)
@@ -110,6 +111,7 @@ def test_scene_stage_k1_matches_joint_grad():
     assert compared >= 10, f"only {compared} leaves had comparable gradients"
 
 
+@pytest.mark.slow
 def test_scene_stage_k2_accumulation_matches_mean_grad():
     """K=2 accumulation exactness: with rays frozen (sgd 0), the stage's
     encoder gradient must equal the MEAN of the two steps' joint gradients
@@ -181,6 +183,7 @@ def test_scene_stage_k2_accumulation_matches_mean_grad():
     assert compared >= 10, f"only {compared} leaves compared"
 
 
+@pytest.mark.slow
 def test_scene_mixed_k1_matches_joint_grad():
     """SCENE-MIXED exactness: a K=1, S=2 mixed stage's encoder update must
     equal the direct joint gradient of mean-over-scenes loss at the same
@@ -256,6 +259,7 @@ def test_scene_mixed_k1_matches_joint_grad():
     assert compared >= 10, f"only {compared} leaves compared"
 
 
+@pytest.mark.slow
 def test_scene_stage_update_cadence():
     """Ray params move every step; encoder params once per stage call."""
     model, batch, variables = _setup()
@@ -287,6 +291,7 @@ def test_scene_stage_update_cadence():
     assert set(merged) == set(variables["params"])
 
 
+@pytest.mark.slow
 def test_scene_mixed_stage_runs_and_mixes():
     """SCENE-MIXED stage (mixed=True): S scenes encoded per stage, every
     step's ray batch (S, B, ...) mixes all scenes. Checks shapes thread,
