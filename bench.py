@@ -192,15 +192,17 @@ def main():
                       for _ in range(n_steps)])
         for k, v in batch.items()}
 
-    # NEO360_BENCH_STAGE=K: scene-stage (encode-once) trainer — the encoder
-    # runs once per K consecutive steps on one scene (the production
-    # neo360_fast path when quality-gated; train/loop.py
-    # make_scene_stage_trainer). 0 = per-step encoding.
-    stage_k = int(os.environ.get("NEO360_BENCH_STAGE", "0"))
-    # NEO360_BENCH_SCENES=S (>1): SCENE-MIXED stages — S scenes encoded once
-    # per stage, every step mixing rays from all S (the quality-gated
-    # production stage shape; see make_scene_stage_fns docstring).
-    n_mix = int(os.environ.get("NEO360_BENCH_SCENES", "1"))
+    # NEO360_BENCH_STAGE=K / NEO360_BENCH_SCENES=S: scene-stage (encode-once)
+    # trainer — S scenes encoded once per K-step stage, every step mixing
+    # rays from all S (train/loop.py make_scene_stage_trainer). DEFAULT is
+    # the ADOPTED production shape K=16, S=2 (config.py neo360_fast):
+    # quality-gated on the fixture drive at matched steps (round-3
+    # BASELINE.md — mean val PSNR 25.89 vs 25.39 per-step control).
+    # STAGE=0 measures the reference-style per-step-encode trainer.
+    default_stage = "0" if mode == "reference" else "16"
+    stage_k = int(os.environ.get("NEO360_BENCH_STAGE", default_stage))
+    n_mix = int(os.environ.get("NEO360_BENCH_SCENES",
+                               "2" if stage_k > 1 else "1"))
     key = jax.random.PRNGKey(7)
     if stage_k:
         from neo360_tpu.models.neo360 import SRC_KEYS, make_scene_stage_fns

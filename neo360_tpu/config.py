@@ -76,6 +76,15 @@ class Config:
     lpips_weights: Optional[str] = None    # torch VGG16+lin checkpoint
     resnet_weights: Optional[str] = None   # torchvision resnet34 state_dict
 
+    # few-shot eval encode BN mode: "batch" re-derives BatchNorm statistics
+    # from the 3-5 source views at encode time; "running" uses the trained
+    # running averages (the reference's torch eval() semantics). Default
+    # "batch": measured +3.8 dB (per-step-trained) / +1.3 dB (stage-trained)
+    # mean val PSNR on the fixture drive (BASELINE.md round 3) — the source
+    # stack is tiny and scene-specific, so its own statistics beat a global
+    # running average.
+    eval_bn_mode: str = "batch"
+
     # eval cadence
     val_every_steps: int = 5000
     save_every_steps: int = 5000
@@ -105,9 +114,13 @@ def preset(exp_type: str, **overrides) -> Config:
         cfg = Config(exp_type="neo360", dataset_name="nerds360_ae",
                      lr_init=5e-4, lr_final=5e-6, grad_max_norm=0.05)
     elif exp_type == "neo360_fast":
+        # stage_k/stage_scenes: scene-mixed encode-once stages are the
+        # production trainer — quality-gated on the fixture drive (round-3
+        # BASELINE.md: mean val PSNR 25.89 vs per-step control 25.39 at
+        # matched 1408 steps) at ~1.9x the per-step train throughput.
         cfg = Config(exp_type="neo360_fast", dataset_name="nerds360_ae",
                      lr_init=5e-4, lr_final=5e-6, grad_max_norm=0.05,
-                     bf16=True, lift_dim=128)
+                     bf16=True, lift_dim=128, stage_k=16, stage_scenes=2)
     else:
         raise ValueError(f"unknown exp_type {exp_type!r}; "
                          f"expected one of {EXP_TYPES}")

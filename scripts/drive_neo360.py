@@ -204,18 +204,14 @@ def main():
     rays_s = (n_dispatch - 1) * k_steps * n_rays / tot_t
     print(f"train throughput (post-compile): {rays_s:,.0f} rays/s")
 
-    # ---- render a held-out view (encode once, tile rays) ----
-    val = ds.sample_val(0, dest_offset=0)
-    src = {k: jnp.asarray(val[k]) for k in
-           ("src_imgs", "src_poses", "src_focal", "src_c")}
-    vars_now = {"params": state.params, "batch_stats": state.model_state}
-    encoded = model.apply(vars_now, src["src_imgs"], src["src_poses"],
-                          src["src_focal"], src["src_c"],
-                          method=NeRFTP.encode)
-
-    # device arrays ride the pack argument (closure constants would be
-    # embedded into the HLO and re-jit per scene — see cli.make_render_fn)
+    # ---- render ALL held-out tail views of every scene (encode once per
+    # scene, tile rays). A single val view measured +-4 dB run-to-run noise
+    # in the round-3 stage A/Bs; the gate below averages n_scenes x tail
+    # views, in BOTH BN eval modes (running stats vs train-mode batch stats
+    # — the scene-stage trainer updates running stats K-fold less often).
     def render_chunk(pack, rays):
+        # device arrays ride the pack argument (closure constants would be
+        # embedded into the HLO and re-jit per scene — see cli.make_render_fn)
         rays = dict(rays, **pack["src"])
         out = model.apply({"params": pack["params"],
                            "batch_stats": pack["bs"]},
@@ -224,33 +220,48 @@ def main():
         return {"rgb": out[1]["rgb"], "depth": out[1]["depth"]}
 
     renderer = tl.make_image_renderer(render_chunk, 512)
-    pack = {"params": state.params, "bs": state.model_state,
-            "enc": encoded, "src": src}
-    rays = {k: jnp.asarray(val[k]) for k in ("rays_o", "rays_d", "viewdirs")}
+    vars_now = {"params": state.params, "batch_stats": state.model_state}
+    psnrs_run, psnrs_bat = [], []
+    pred = gt = None
     t0 = time.time()
-    out = renderer(pack, rays)
-    rgb = np.asarray(out["rgb"], np.float32)
+    n_views = 0
+    for s_idx in range(n_fix):
+        val0 = ds.sample_val(s_idx, dest_offset=0)
+        src = {k: jnp.asarray(val0[k]) for k in
+               ("src_imgs", "src_poses", "src_focal", "src_c")}
+        enc_run = model.apply(vars_now, src["src_imgs"], src["src_poses"],
+                              src["src_focal"], src["src_c"],
+                              method=NeRFTP.encode)
+        (pt_b, lt_b, _), _ = model.apply(
+            vars_now, src["src_imgs"], src["src_poses"], src["src_focal"],
+            src["src_c"], True, method=NeRFTP.encode,
+            mutable=["batch_stats"])
+        enc_bat = (pt_b, lt_b, enc_run[2])
+        n_tail = len(ds.scene_meta(ds.scene_ids[s_idx]).c2w_val_tail)
+        for d_off in range(n_tail):
+            val = val0 if d_off == 0 else ds.sample_val(s_idx,
+                                                        dest_offset=d_off)
+            rays = {k: jnp.asarray(val[k])
+                    for k in ("rays_o", "rays_d", "viewdirs")}
+            w, h = val["img_wh"]
+            gt = np.asarray(val["target"], np.float32).reshape(h, w, 3)
+            for enc, acc in ((enc_run, psnrs_run), (enc_bat, psnrs_bat)):
+                pack = {"params": state.params, "bs": state.model_state,
+                        "enc": enc, "src": src}
+                rgb = np.asarray(renderer(pack, rays)["rgb"], np.float32)
+                pred = np.clip(rgb.reshape(h, w, 3), 0, 1)
+                acc.append(float(psnr_fn(jnp.asarray(pred),
+                                         jnp.asarray(gt))))
+            n_views += 1
     dt = time.time() - t0
-    w, h = val["img_wh"]
-    pred = np.clip(rgb.reshape(h, w, 3), 0, 1)
-    gt = np.asarray(val["target"], np.float32).reshape(h, w, 3)
-    val_psnr = float(psnr_fn(jnp.asarray(pred), jnp.asarray(gt)))
-    print(f"render {h}x{w}: {dt:.2f}s   val PSNR {val_psnr:.2f}")
-
-    # BN-lag diagnostic: encode with train-mode BATCH statistics instead of
-    # the running averages. The scene-stage trainer gives the running stats
-    # K-fold fewer EMA updates than per-step training, so a large gap
-    # between these two renders indicts stale running stats, not the
-    # encoder weights.
-    (pt_b, lt_b, _), _ = model.apply(
-        vars_now, src["src_imgs"], src["src_poses"], src["src_focal"],
-        src["src_c"], True, method=NeRFTP.encode, mutable=["batch_stats"])
-    pack_b = dict(pack, enc=(pt_b, lt_b, encoded[2]))
-    rgb_b = np.asarray(renderer(pack_b, rays)["rgb"], np.float32)
-    pred_b = np.clip(rgb_b.reshape(h, w, 3), 0, 1)
-    psnr_b = float(psnr_fn(jnp.asarray(pred_b), jnp.asarray(gt)))
-    print(f"val PSNR (batch-stats encode): {psnr_b:.2f}")
-    val_psnr = max(val_psnr, psnr_b)
+    val_run = float(np.mean(psnrs_run))
+    val_bat = float(np.mean(psnrs_bat))
+    print(f"render {n_views} held-out views ({dt:.1f}s): "
+          f"val PSNR {val_run:.2f} (running stats) / "
+          f"{val_bat:.2f} (batch stats)")
+    print("per-view (running):",
+          " ".join(f"{p:.2f}" for p in psnrs_run))
+    val_psnr = max(val_run, val_bat)
 
     side = np.concatenate([to8b(gt), to8b(pred)], axis=1)
     try:
