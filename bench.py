@@ -237,6 +237,20 @@ def main():
         state, m = runner(state, srcs, rbs, jax.random.fold_in(key, 1))
         float(m["mse"])                                        # host sync
         dt = time.time() - t0
+        # NEO360_BENCH_PROFILE=<dir>: xplane-trace one dispatch and print
+        # the per-op exclusive device-time table (scripts/profile_step.py)
+        prof_dir = os.environ.get("NEO360_BENCH_PROFILE")
+        if prof_dir:
+            with jax.profiler.trace(prof_dir):
+                state, m = runner(state, srcs, rbs,
+                                  jax.random.fold_in(key, 2))
+                float(m["mse"])
+            import sys as _sys
+            _sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "scripts"))
+            from profile_step import summarize_xspace
+            summarize_xspace(prof_dir, int(
+                os.environ.get("NEO360_PROF_TOP", "40")))
     else:
         step = tl.make_train_step(loss_fn, opt, with_model_state=True)
         staged = tl.make_staged_trainer(step)

@@ -110,6 +110,8 @@ def build_model(cfg: Config):
         from neo360_tpu.models.neo360 import NeRFTP
         if cfg.grid_size is not None:
             size["grid_size"] = tuple(cfg.grid_size)
+        if cfg.remat_encoder is not None:
+            size["remat_encoder"] = cfg.remat_encoder
         return NeRFTP(num_src_views=cfg.num_src_views, compute_dtype=dtype,
                       **size)
     if cfg.exp_type == "neo360_fast":

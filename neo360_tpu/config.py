@@ -42,6 +42,11 @@ class Config:
     grid_size: Optional[Tuple[int, int, int]] = None
     num_coarse_samples: Optional[int] = None
     num_fine_samples: Optional[int] = None
+    # None = the model's default (True: recompute the encoder in backward to
+    # save HBM). False shrinks the compiled program — used by the tiny-shape
+    # multichip dryrun where SPMD compile time, not memory, is the binding
+    # constraint.
+    remat_encoder: Optional[bool] = None
 
     # optimization
     bf16: bool = False                     # bf16 compute in encoders/MLPs
