@@ -99,7 +99,7 @@ def main():
     # (train/loop.py make_scene_stage_trainer). 0 = reference per-step
     # encoding via the plain staged trainer.
     stage_k = int(os.environ.get("NEO360_DRIVE_STAGE", "0"))
-    k_steps = 16
+    k_steps = max(16, stage_k)          # steps per dispatch
     n_dispatch = int(os.environ.get("NEO360_DRIVE_DISPATCHES", "30"))
     key = jax.random.PRNGKey(7)
     tot_t = 0.0
@@ -111,7 +111,7 @@ def main():
     n_mix = int(os.environ.get("NEO360_DRIVE_SCENES", "1"))
     if stage_k:
         from neo360_tpu.models.neo360 import SRC_KEYS, make_scene_stage_fns
-        assert k_steps % stage_k == 0, "16 steps/dispatch must split"
+        assert k_steps % stage_k == 0, "steps/dispatch must split into stages"
         n_stages = k_steps // stage_k
         encode_fn, stage_loss = make_scene_stage_fns(model, mixed=n_mix > 1)
         # The encoder takes 1/K as many Adam updates as per-step training;
