@@ -213,8 +213,14 @@ def main():
                               optax.adam(5e-4))
         ray_opt = optax.chain(optax.clip_by_global_norm(0.05),
                               optax.adam(5e-4))
+        # NEO360_BENCH_COT=bf16: bf16 cotangent accumulator (see
+        # make_scene_stage_trainer docstring; quality-gated in BASELINE.md)
+        cot = (jnp.bfloat16
+               if os.environ.get("NEO360_BENCH_COT", "f32").startswith("bf")
+               else jnp.float32)
         runner = tl.make_scene_stage_trainer(
-            encode_fn, stage_loss, enc_opt, ray_opt, multi_stage=True)
+            encode_fn, stage_loss, enc_opt, ray_opt, multi_stage=True,
+            cot_dtype=cot)
         state = tl.create_scene_stage_state(
             variables["params"], enc_opt, ray_opt, variables["batch_stats"])
         if n_mix > 1:

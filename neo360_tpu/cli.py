@@ -611,7 +611,8 @@ def run_train(cfg: Config):
         enc_optimizer = build_optimizer(cfg)
         runner = tl.make_scene_stage_trainer(
             encode_fn, stage_loss, enc_optimizer, optimizer,
-            multi_stage=True)
+            multi_stage=True,
+            cot_dtype=_jnp.dtype(cfg.stage_cot_dtype))
         state = tl.create_scene_stage_state(
             variables["params"], enc_optimizer, optimizer,
             variables["batch_stats"])

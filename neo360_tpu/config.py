@@ -70,6 +70,9 @@ class Config:
     # encoder gradients through the staleness-sensitive early phase), then
     # encode-once stages. Ignored when resuming past it or stage_k <= 1.
     stage_warmup_steps: int = 0
+    # stage cotangent-accumulator dtype: "bfloat16" halves the accumulator's
+    # per-step HBM traffic (train/loop.py make_scene_stage_trainer docstring)
+    stage_cot_dtype: str = "float32"
 
     # run modes
     eval_mode: Optional[str] = None        # None | full_eval | vis_only

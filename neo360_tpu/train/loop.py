@@ -191,7 +191,8 @@ def create_scene_stage_state(params, enc_optimizer, ray_optimizer,
 
 def make_scene_stage_trainer(encode_fn: Callable, loss_fn: Callable,
                              enc_optimizer, ray_optimizer,
-                             multi_stage: bool = False):
+                             multi_stage: bool = False,
+                             cot_dtype=jnp.float32):
     """Encode-once scene-stage trainer — the TPU-first restructuring of
     NeO-360 training for throughput.
 
@@ -225,10 +226,14 @@ def make_scene_stage_trainer(encode_fn: Callable, loss_fn: Callable,
             lambda p: encode_fn(p, state.model_state, src),
             state.enc_params, has_aux=True)
 
-        # f32 cotangent accumulator (the tables are bf16 in the fast preset;
-        # K-term bf16 sums would lose ~1e-2 relative accuracy)
+        # Cotangent accumulator dtype: f32 is exact; bf16 halves the
+        # accumulator's HBM traffic (the corner-table cotangents are
+        # ~GB-scale and are read+written EVERY step — ~10 ms/step of the
+        # adopted production config per the round-3 xplane profile) at
+        # ~1e-2 relative error on a K-term sum, which Adam's per-coordinate
+        # normalization absorbs (fixture quality A/B in BASELINE.md).
         cot0 = jax.tree_util.tree_map(
-            lambda t: jnp.zeros(t.shape, jnp.float32), tables)
+            lambda t: jnp.zeros(t.shape, cot_dtype), tables)
 
         def body(carry, batch):
             ray_p, ray_opt, cot, key, step = carry
@@ -239,7 +244,7 @@ def make_scene_stage_trainer(encode_fn: Callable, loss_fn: Callable,
             updates, ray_opt = ray_optimizer.update(g_ray, ray_opt, ray_p)
             ray_p = optax.apply_updates(ray_p, updates)
             cot = jax.tree_util.tree_map(
-                lambda c, g: c + g.astype(jnp.float32), cot, g_tab)
+                lambda c, g: c + g.astype(cot_dtype), cot, g_tab)
             return (ray_p, ray_opt, cot, key, step + 1), metrics
 
         k_steps = next(iter(ray_batches.values())).shape[0]

@@ -128,8 +128,12 @@ def main():
                                   learning_rate=enc_lr))
         ray_opt = optax.chain(optax.clip_by_global_norm(0.05),
                               optax.adam(lr))
+        cot = (jnp.bfloat16
+               if os.environ.get("NEO360_DRIVE_COT", "f32").startswith("bf")
+               else jnp.float32)
         run_stages = tl.make_scene_stage_trainer(
-            encode_fn, stage_loss, enc_opt, ray_opt, multi_stage=True)
+            encode_fn, stage_loss, enc_opt, ray_opt, multi_stage=True,
+            cot_dtype=cot)
 
         # NEO360_DRIVE_STAGE_WARMUP=W: hybrid schedule — W per-step-encode
         # steps first (fresh encoder gradients through the staleness-
