@@ -265,7 +265,8 @@ class NeRFTP(nn.Module):
         return plane_tables, local_tables, (plane_hw, latent_hw)
 
     def _local_feats_pair(self, fg_samples, bg_samples, poses, focal, c,
-                          stacked_table, latent_hw, image_size):
+                          stacked_table, latent_hw, image_size,
+                          view_offset=None, total_views=None):
         """Pixel-aligned projected latents for the fg AND bg branches in one
         gather (reference model.py:239-264 ran the equivalent twice).
 
@@ -289,7 +290,9 @@ class NeRFTP(nn.Module):
             image_size, dtype=jnp.float32)
         uv = jnp.concatenate([uv_fg, uv_bg], axis=0) * scale - 1.0
         latent = table_sample(stacked_table, uv, latent_hw,
-                              padding_mode="border")
+                              padding_mode="border",
+                              view_offset=view_offset,
+                              total_views=total_views)
         return latent[:nv], latent[nv:], fg_cam
 
     def __call__(self, rays: Dict[str, jnp.ndarray], randomized: bool,
@@ -304,7 +307,20 @@ class NeRFTP(nn.Module):
         if encoded is None:
             encoded = self.encode(rays["src_imgs"], rays["src_poses"],
                                   rays["src_focal"], rays["src_c"], train)
-        plane_tables, local_tables, _ = encoded
+        plane_tables, local_tables = encoded[0], encoded[1]
+        # optional 4th element (s_idx, n_scenes): the SCENE-MIXED stage
+        # trainer passes FLAT multi-scene tables (scene axis folded into the
+        # view-row axis) with this scene's index — gathers then address rows
+        # [s_idx*views : (s_idx+1)*views] of the shared flat tables (see
+        # ops.interpolate.table_sample's flat mode).
+        scene = encoded[3] if len(encoded) > 3 else None
+        nv = self.num_src_views
+        if scene is not None:
+            s_idx, n_scenes = scene
+            plane_off, plane_tot = s_idx * nv, n_scenes * nv
+            local_off, local_tot = s_idx * 2 * nv, n_scenes * 2 * nv
+        else:
+            plane_off = plane_tot = local_off = local_tot = None
         # the map sizes are recomputed from the (static) table shapes rather
         # than taken from encode()'s hw tuple: when `encoded` is threaded
         # through a jit boundary as an argument (the encode-once render
@@ -313,7 +329,6 @@ class NeRFTP(nn.Module):
         plane_hw = (plane_tables[0].shape[1] - 1, plane_tables[0].shape[2] - 1)
         lt0 = next(iter(local_tables.values()))
         latent_hw = (lt0.shape[1] - 1, lt0.shape[2] - 1)
-        nv = self.num_src_views
         h_img, w_img = rays["src_imgs"].shape[1:3]
         image_size = (w_img, h_img)
         poses = rays["src_poses"]
@@ -395,14 +410,17 @@ class NeRFTP(nn.Module):
                     "fg/bg sample shapes must match for merged indexing")
                 both = jnp.concatenate([fg_samples, bg_pts], axis=0)
                 world = index_grid_tables(both, plane_tables, plane_hw,
-                                          poses, nv)
+                                          poses, nv,
+                                          view_offset=plane_off,
+                                          total_views=plane_tot)
                 n_half = b * s_fg
                 world_fg, world_bg = world[:, :n_half], world[:, n_half:]
                 tab = local_tables["f" if (self.use_proposal
                                            or i_level > 0) else "c"]
                 local_fg, local_bg, fg_cam = self._local_feats_pair(
                     fg_samples, bg_pts, poses, rays["src_focal"],
-                    rays["src_c"], tab, latent_hw, image_size)
+                    rays["src_c"], tab, latent_hw, image_size,
+                    view_offset=local_off, total_views=local_tot)
 
                 bg_cam = geometry.world2camera(
                     bg_samples[..., :3].reshape(1, -1, 3), poses, ns=nv)
@@ -504,13 +522,14 @@ def make_scene_stage_fns(model: "NeRFTP", white_bkgd: bool = False,
             mutable=["batch_stats"])
         return (pt, lt), mut["batch_stats"]
 
-    def _loss_one(ray_params, pt, lt, src, batch, key):
+    def _loss_one(ray_params, pt, lt, src, batch, key, scene=None):
         rays = {k: batch[k] for k in ("rays_o", "rays_d", "viewdirs")}
         rays.update({k: src[k] for k in SRC_KEYS})
         # __call__ recomputes the (static) map sizes from the table shapes,
         # so the hw element of the encoded tuple is not needed here
+        enc = (pt, lt, None) if scene is None else (pt, lt, None, scene)
         out = model.apply({"params": ray_params}, rays, True, white_bkgd,
-                          encoded=(pt, lt, None), train=False,
+                          encoded=enc, train=False,
                           rngs={"sampling": key})
         l1 = img2mse(out[1]["rgb"], batch["target"])
         if model.use_proposal:
@@ -536,9 +555,17 @@ def make_scene_stage_fns(model: "NeRFTP", white_bkgd: bool = False,
     def encode_fn(enc_params, model_state, src):
         # vmap over the scene axis: one batched encoder program for all S
         # scenes; per-scene BatchNorm batch_stats are averaged into the
-        # running stats (each scene's stack is an equal-size BN batch)
+        # running stats (each scene's stack is an equal-size BN batch).
+        # The scene axis is then FLATTENED into each table's view-row axis:
+        # the vmapped loss below closes over these flat tables (unbatched
+        # under vmap) and addresses its scene's rows via view offsets, so
+        # per-step table gathers and backward scatter-adds lower as ONE
+        # flat op instead of XLA's ~2.6x-slower batched form (round-3
+        # xplane profile; ops.interpolate.table_sample flat mode).
         (pt, lt), bs = jax.vmap(
             lambda s: _encode_one(enc_params, model_state, s))(src)
+        pt = tuple(p.reshape((-1,) + p.shape[2:]) for p in pt)
+        lt = {k: v.reshape((-1,) + v.shape[2:]) for k, v in lt.items()}
         new_bs = jax.tree_util.tree_map(lambda x: x.mean(axis=0), bs)
         return (pt, lt), (None, new_bs)
 
@@ -546,9 +573,11 @@ def make_scene_stage_fns(model: "NeRFTP", white_bkgd: bool = False,
         pt, lt = tables
         n_scenes = batch["target"].shape[0]
         keys = jax.random.split(key, n_scenes)
+        sidx = jnp.arange(n_scenes, dtype=jnp.int32)
         losses, l1s = jax.vmap(
-            lambda p, l, s, b, k: _loss_one(ray_params, p, l, s, b, k)
-        )(pt, lt, src, batch, keys)
+            lambda s, b, k, si: _loss_one(ray_params, pt, lt, s, b, k,
+                                          scene=(si, n_scenes))
+        )(src, batch, keys, sidx)
         return losses.mean(), {"mse": l1s.mean()}
 
     return encode_fn, loss_fn

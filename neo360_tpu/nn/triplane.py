@@ -318,11 +318,16 @@ def index_grid(samples: jnp.ndarray, planes, poses: jnp.ndarray,
 
 
 def index_grid_tables(samples: jnp.ndarray, tables, plane_hw,
-                      poses: jnp.ndarray, num_src_views: int) -> jnp.ndarray:
+                      poses: jnp.ndarray, num_src_views: int,
+                      view_offset=None,
+                      total_views: int = None) -> jnp.ndarray:
     """`index_grid` over prebuilt corner tables (ops.interpolate
     .build_corner_table of each plane, zeros mode) — one row-gather per
     (point, view, plane) instead of four; numerically identical
-    (tests/test_neo360.py::test_index_grid_tables_matches)."""
+    (tests/test_neo360.py::test_index_grid_tables_matches).
+
+    view_offset/total_views: flat multi-scene tables (see
+    ops.interpolate.table_sample) for the SCENE-MIXED stage trainer."""
     from neo360_tpu.ops.interpolate import table_sample
 
     t_xz, t_xy, t_yz = tables
@@ -333,7 +338,9 @@ def index_grid_tables(samples: jnp.ndarray, tables, plane_hw,
     uv_yz = cam[..., jnp.asarray([1, 2])]
     uv_xy = cam[..., jnp.asarray([0, 1])]
 
-    lat = (table_sample(t_xz, uv_xz, plane_hw, padding_mode="zeros")
-           + table_sample(t_xy, uv_xy, plane_hw, padding_mode="zeros")
-           + table_sample(t_yz, uv_yz, plane_hw, padding_mode="zeros"))
+    kw = dict(padding_mode="zeros", view_offset=view_offset,
+              total_views=total_views)
+    lat = (table_sample(t_xz, uv_xz, plane_hw, **kw)
+           + table_sample(t_xy, uv_xy, plane_hw, **kw)
+           + table_sample(t_yz, uv_yz, plane_hw, **kw))
     return lat

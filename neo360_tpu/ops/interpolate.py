@@ -111,7 +111,8 @@ def build_corner_table(image: jnp.ndarray, padding_mode: str = "zeros",
 
 def table_sample(table: jnp.ndarray, uv: jnp.ndarray, hw: tuple,
                  padding_mode: str = "zeros",
-                 out_dtype=jnp.float32) -> jnp.ndarray:
+                 out_dtype=jnp.float32,
+                 view_offset=None, total_views: int = None) -> jnp.ndarray:
     """Bilinear sample via one row-gather from a `build_corner_table` table.
 
     Semantically identical to grid_sample_2d(image, uv, padding_mode) where
@@ -119,8 +120,17 @@ def table_sample(table: jnp.ndarray, uv: jnp.ndarray, hw: tuple,
     golden-tested in tests/test_interpolate.py. The table may be bf16 (faster
     rows on v5e); lerp weights are computed in f32 and the output is cast to
     `out_dtype`.
+
+    Multi-scene flat mode (`total_views` set): `table` holds total_views
+    view-slices flattened along axis 0 and `uv` addresses the `b` slices
+    starting at `view_offset` (a traced scalar). Under `jax.vmap` over
+    scenes (the SCENE-MIXED stage trainer) the table stays UNBATCHED and
+    only uv/view_offset are batched, so XLA lowers ONE flat row-gather (and
+    one flat backward scatter-add) over the concatenated row axis — a
+    batched gather-with-batch-dims measured ~2.6x slower in the round-3
+    xplane profile.
     """
-    b = table.shape[0]
+    b = uv.shape[0]
     c4 = table.shape[-1]
     c = c4 // 4
     h, w = hw
@@ -152,8 +162,12 @@ def table_sample(table: jnp.ndarray, uv: jnp.ndarray, hw: tuple,
     yb = jnp.clip(y0.astype(jnp.int32) + 1, 0, h)
 
     hp, wp = h + 1, w + 1
-    flat = table.reshape(b * hp * wp, c4)
-    base = (jnp.arange(b, dtype=jnp.int32) * (hp * wp))[:, None]
+    n_rows = (b if total_views is None else total_views) * hp * wp
+    flat = table.reshape(n_rows, c4)
+    views = jnp.arange(b, dtype=jnp.int32)
+    if view_offset is not None:
+        views = views + view_offset
+    base = (views * (hp * wp))[:, None]
     idx = base + yb * wp + xb
     n = uv.shape[1]
     # promise_in_bounds: xb/yb are clipped above, so XLA can skip the

@@ -135,13 +135,10 @@ def test_neo360_cli_stage_warmup(multi_scene_root, tmp_path, monkeypatch):
                       num_src_views=cfg.num_src_views)
 
     monkeypatch.setattr(cli, "build_model", tiny_build)
-    from neo360_tpu.parallel import sharding as sh
-
-    def two_dev_mesh():
-        import jax
-        return sh.make_mesh({"data": 2}, jax.devices()[:2])
-
-    monkeypatch.setattr(cli, "_make_mesh_if_multichip", two_dev_mesh)
+    # single device: compiling BOTH the per-step and the stage trainer for
+    # an SPMD mesh took ~75 min of XLA:CPU on a 1-core host; the mesh path
+    # is covered by test_neo360_cli_stage_train_smoke (2-device)
+    monkeypatch.setattr(cli, "_make_mesh_if_multichip", lambda: None)
     cfg = cli.parse_args([
         "--exp_type", "neo360", "--root_dir", multi_scene_root,
         "--img_wh", "16", "12", "--run_max_steps", "8",

@@ -102,3 +102,42 @@ def test_table_sample_far_oob_zeros():
     out = np.asarray(table_sample(build_corner_table(jnp.asarray(img)),
                                   uv, (h, w), padding_mode="zeros"))
     np.testing.assert_array_equal(out, 0.0)
+
+
+def test_table_sample_flat_multiscene():
+    """Flat multi-scene mode: table_sample(total_views=S*B, view_offset=s*B)
+    over scene-concatenated tables must equal the per-scene call, in value
+    AND in gradient (the vmapped form's backward is ONE flat scatter)."""
+    import jax
+    import jax.numpy as jnp
+    from neo360_tpu.ops.interpolate import build_corner_table, table_sample
+
+    rng = np.random.default_rng(3)
+    s_scenes, b, h, w, c, n = 2, 3, 5, 6, 4, 11
+    imgs = jnp.asarray(rng.normal(size=(s_scenes, b, h, w, c)), jnp.float32)
+    uv = jnp.asarray(rng.uniform(-1.2, 1.2, size=(s_scenes, b, n, 2)),
+                     jnp.float32)
+    tables = jax.vmap(lambda im: build_corner_table(im, "zeros"))(imgs)
+    flat = tables.reshape((-1,) + tables.shape[2:])
+
+    ref = jnp.stack([table_sample(tables[s], uv[s], (h, w), "zeros")
+                     for s in range(s_scenes)])
+
+    def one(uv_s, off):
+        return table_sample(flat, uv_s, (h, w), "zeros",
+                            view_offset=off, total_views=s_scenes * b)
+
+    offs = jnp.arange(s_scenes, dtype=jnp.int32) * b
+    out = jax.vmap(one)(uv, offs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+
+    g_ref = jax.grad(lambda t: sum(
+        jnp.sum(table_sample(t[s], uv[s], (h, w), "zeros") ** 2)
+        for s in range(s_scenes)))(tables)
+    g_flat = jax.grad(lambda f: jnp.sum(
+        jax.vmap(lambda u, o: table_sample(
+            f, u, (h, w), "zeros", view_offset=o,
+            total_views=s_scenes * b))(uv, offs) ** 2))(flat)
+    np.testing.assert_allclose(
+        np.asarray(g_flat.reshape(g_ref.shape)), np.asarray(g_ref),
+        rtol=1e-5, atol=1e-6)
