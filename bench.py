@@ -195,11 +195,11 @@ def main():
     # NEO360_BENCH_STAGE=K / NEO360_BENCH_SCENES=S: scene-stage (encode-once)
     # trainer — S scenes encoded once per K-step stage, every step mixing
     # rays from all S (train/loop.py make_scene_stage_trainer). DEFAULT is
-    # the ADOPTED production shape K=16, S=2 (config.py neo360_fast):
+    # the ADOPTED production shape K=32, S=2 (config.py neo360_fast):
     # quality-gated on the fixture drive at matched steps (round-3
-    # BASELINE.md — mean val PSNR 25.89 vs 25.39 per-step control).
-    # STAGE=0 measures the reference-style per-step-encode trainer.
-    default_stage = "0" if mode == "reference" else "16"
+    # BASELINE.md 6-view A/B — mean val PSNR 26.86 vs 25.39 per-step
+    # control). STAGE=0 measures the reference-style per-step trainer.
+    default_stage = "0" if mode == "reference" else "32"
     stage_k = int(os.environ.get("NEO360_BENCH_STAGE", default_stage))
     n_mix = int(os.environ.get("NEO360_BENCH_SCENES",
                                "2" if stage_k > 1 else "1"))

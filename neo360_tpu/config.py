@@ -124,11 +124,12 @@ def preset(exp_type: str, **overrides) -> Config:
     elif exp_type == "neo360_fast":
         # stage_k/stage_scenes: scene-mixed encode-once stages are the
         # production trainer — quality-gated on the fixture drive (round-3
-        # BASELINE.md: mean val PSNR 25.89 vs per-step control 25.39 at
-        # matched 1408 steps) at ~1.9x the per-step train throughput.
+        # BASELINE.md 6-view A/B at matched 1408 steps: K=32 S=2 26.86 vs
+        # per-step control 25.39 vs K=16 25.89 mean val PSNR, batch-stats
+        # encode) at ~1.7-1.8x the per-step train throughput.
         cfg = Config(exp_type="neo360_fast", dataset_name="nerds360_ae",
                      lr_init=5e-4, lr_final=5e-6, grad_max_norm=0.05,
-                     bf16=True, lift_dim=128, stage_k=16, stage_scenes=2)
+                     bf16=True, lift_dim=128, stage_k=32, stage_scenes=2)
     else:
         raise ValueError(f"unknown exp_type {exp_type!r}; "
                          f"expected one of {EXP_TYPES}")
