@@ -153,7 +153,7 @@ def main():
         # 36.2k at 8192): per-tile conditioned-point intermediates
         # (~512x65x3 points x 128ch) stay VMEM-resident instead of spilling
         # to HBM between fusions; the knee is at 512 (256 ties, 1024 -36%).
-        chunk = int(os.environ.get("NEO360_BENCH_RENDER_CHUNK", "512"))
+        chunk = int(os.environ.get("NEO360_BENCH_RENDER_CHUNK", "256"))
         renderer = tl2.make_image_renderer(render_chunk, chunk)
         pack = {"params": variables["params"],
                 "bs": variables["batch_stats"], "enc": encoded, "src": src}

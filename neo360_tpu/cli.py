@@ -36,10 +36,11 @@ def parse_args(argv=None) -> Config:
     p.add_argument("--white_back", action="store_true")
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--ray_batch_size", type=int, default=500)
-    # render tile size: 512 measured ~1.9x faster than 4096+ on v5e (tile
-    # intermediates stay VMEM-resident, BASELINE.md 2026-08-18); the
+    # render tile size: small tiles keep per-tile conditioned-point
+    # intermediates VMEM-resident; knee re-measured at 256 on v5e
+    # (62.7k vs 37.8k rays/s at 512, BASELINE.md 2026-08-20). The
     # reference's --chunk default was 1024 (opt.py:195-200)
-    p.add_argument("--chunk", type=int, default=512)
+    p.add_argument("--chunk", type=int, default=256)
     p.add_argument("--num_src_views", type=int, default=None)
     p.add_argument("--run_max_steps", type=int, default=100000)
     p.add_argument("--lr_init", type=float, default=None)

@@ -32,8 +32,8 @@ class Config:
     # sampling / rendering
     batch_size: int = 1024                 # rays per step (vanilla/mip)
     ray_batch_size: int = 500              # rays per AE sample (few-shot)
-    chunk: int = 512                       # eval rays per tile (VMEM knee,
-                                           # BASELINE.md 2026-08-18)
+    chunk: int = 256                       # eval rays per tile (VMEM knee,
+                                           # BASELINE.md 2026-08-20 re-sweep)
     num_src_views: int = 3
     lift_dim: Optional[int] = None         # grid-lift row width (neo360_fast
                                            # preset: 128; None = reference)

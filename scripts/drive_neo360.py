@@ -114,12 +114,12 @@ def main():
         assert k_steps % stage_k == 0, "steps/dispatch must split into stages"
         n_stages = k_steps // stage_k
         encode_fn, stage_loss = make_scene_stage_fns(model, mixed=n_mix > 1)
-        # The encoder takes 1/K as many Adam updates as per-step training;
-        # Adam's per-update step size is ~lr regardless of gradient scale,
-        # so matching the control's parameter travel needs enc lr x K
-        # (first K=8 A/B without this: val PSNR 15.41 vs 26.59 control).
-        enc_lr = lr * float(os.environ.get("NEO360_DRIVE_ENC_LR_SCALE",
-                                           str(stage_k)))
+        # Enc lr scale 1 is the production setting: the stage's accumulated
+        # mean cotangent is a LOWER-noise gradient, and the round-3 sweep
+        # showed the old x stage_k "travel matching" rule destabilizes
+        # training monotonically (BASELINE.md: 11.3 val PSNR at x16 vs 23.0
+        # at x1, K=16 S=2).
+        enc_lr = lr * float(os.environ.get("NEO360_DRIVE_ENC_LR_SCALE", "1"))
         # inject_hyperparams: the enc lr rides the optimizer STATE (a traced
         # array), so every scale in a sweep shares ONE compiled trainer
         # (baked-constant lrs forced a ~20 min remote recompile per value)
@@ -223,7 +223,7 @@ def main():
                           encoded=pack["enc"])
         return {"rgb": out[1]["rgb"], "depth": out[1]["depth"]}
 
-    renderer = tl.make_image_renderer(render_chunk, 512)
+    renderer = tl.make_image_renderer(render_chunk, 256)
     vars_now = {"params": state.params, "batch_stats": state.model_state}
     psnrs_run, psnrs_bat = [], []
     pred = gt = None
