@@ -93,13 +93,17 @@ def main():
     # tri-plane / local-latent widths (128/128 = reference parity)
     planed = int(os.environ.get("NEO360_BENCH_PLANED", "128"))
     locald = int(os.environ.get("NEO360_BENCH_LOCALD", "128"))
+    # NEO360_BENCH_FINE: conditioned fine-sample count (quality-gated fast
+    # knob; 64 = the adopted preset, 256 = reference parity)
+    n_fine = int(os.environ.get(
+        "NEO360_BENCH_FINE", "64" if mode == "proposal" else "256"))
     model = NeRFTP(compute_dtype=jnp.bfloat16 if bf16 else jnp.float32,
                    use_proposal=(mode == "proposal"),
                    num_prop_samples=64, remat_encoder=remat, lift_dim=lift,
                    encoder_width=encw, pillar_width=pillw,
                    grid_size=grid, depth_fc_layers=depthl,
                    plane_dim=planed, local_proj_dim=locald,
-                   num_fine_samples=64 if mode == "proposal" else 256)
+                   num_fine_samples=n_fine)
     rays = {k: batch[k] for k in ray_keys}
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
@@ -183,7 +187,11 @@ def main():
     # K distinct staged batches per dispatch; timing is synced by fetching
     # the final metric to the host (block_until_ready alone does not wait
     # for remote execution under the axon tunnel).
-    n_steps = int(os.environ.get("NEO360_BENCH_STEPS", "32"))
+    # 64 steps/dispatch amortizes the ~50 ms axon relay dispatch overhead
+    # (~1.2% at the adopted config); production uses prefetch-overlapped
+    # dispatches of steps_per_call=100, so larger dispatches are the
+    # honest approximation of the pipelined trainer.
+    n_steps = int(os.environ.get("NEO360_BENCH_STEPS", "64"))
     rng = np.random.default_rng(1)
     batches = {
         k: jnp.stack([v + (rng.standard_normal(v.shape) * 1e-4

@@ -59,7 +59,10 @@ def main():
     depthl = int(os.environ.get("NEO360_DRIVE_DEPTHL", "2"))
     planed = int(os.environ.get("NEO360_DRIVE_PLANED", "128"))
     locald = int(os.environ.get("NEO360_DRIVE_LOCALD", "128"))
-    model = NeRFTP(num_coarse_samples=32, num_fine_samples=48,
+    # NEO360_DRIVE_FINE: fixture fine-sample count (48 ~ production 64;
+    # sample-budget quality A/Bs scale it by the same ratio)
+    n_fine = int(os.environ.get("NEO360_DRIVE_FINE", "48"))
+    model = NeRFTP(num_coarse_samples=32, num_fine_samples=n_fine,
                    grid_size=grid, compute_dtype=jnp.bfloat16,
                    use_proposal=proposal, num_prop_samples=32,
                    lift_dim=lift, encoder_width=encw, pillar_width=pillw,
