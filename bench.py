@@ -94,9 +94,10 @@ def main():
     planed = int(os.environ.get("NEO360_BENCH_PLANED", "128"))
     locald = int(os.environ.get("NEO360_BENCH_LOCALD", "128"))
     # NEO360_BENCH_FINE: conditioned fine-sample count (quality-gated fast
-    # knob; 64 = the adopted preset, 256 = reference parity)
+    # knob; 60 = the adopted preset — fixture A/B 26.74 vs 25.39 control
+    # at matched steps; 256 = reference parity)
     n_fine = int(os.environ.get(
-        "NEO360_BENCH_FINE", "64" if mode == "proposal" else "256"))
+        "NEO360_BENCH_FINE", "60" if mode == "proposal" else "256"))
     model = NeRFTP(compute_dtype=jnp.bfloat16 if bf16 else jnp.float32,
                    use_proposal=(mode == "proposal"),
                    num_prop_samples=64, remat_encoder=remat, lift_dim=lift,

@@ -129,7 +129,8 @@ def preset(exp_type: str, **overrides) -> Config:
         # encode) at ~1.7-1.8x the per-step train throughput.
         cfg = Config(exp_type="neo360_fast", dataset_name="nerds360_ae",
                      lr_init=5e-4, lr_final=5e-6, grad_max_norm=0.05,
-                     bf16=True, lift_dim=128, stage_k=32, stage_scenes=2)
+                     bf16=True, lift_dim=128, stage_k=32, stage_scenes=2,
+                     num_fine_samples=60)
     else:
         raise ValueError(f"unknown exp_type {exp_type!r}; "
                          f"expected one of {EXP_TYPES}")

@@ -391,6 +391,19 @@ class NeRDS360AE:
                     for k in rays[0]})
         return out
 
+    def _default_src_views(self, test: bool = False) -> List[int]:
+        """Reference-parity source lists for 3/5 views (nerds360_ae.py:
+        780-811, 905-920), truncated for other counts — a num_src_views=2
+        smoke run must not silently get a 5-view stack (it crashed the
+        model's view-shape contract at render time)."""
+        if self.num_src_views == 3:
+            return SRC_VIEWS_3
+        full = SRC_VIEWS_5_TEST if test else SRC_VIEWS_5_OPTIMIZE
+        if self.num_src_views > len(full):
+            raise ValueError(f"num_src_views {self.num_src_views} > "
+                             f"{len(full)} known source views")
+        return full[:self.num_src_views]
+
     def _full_image_ids(self, w, h):
         ys_g, xs_g = np.mgrid[0:h, 0:w]
         return xs_g.reshape(-1), ys_g.reshape(-1)
@@ -402,8 +415,8 @@ class NeRDS360AE:
         if len(meta.c2w_val_tail) == 0:
             raise ValueError(f"scene {meta.name} has no held-out tail views")
         dest = dest_offset % len(meta.c2w_val_tail)
-        src = src_views if src_views is not None else (
-            SRC_VIEWS_3 if self.num_src_views == 3 else SRC_VIEWS_5_OPTIMIZE)
+        src = (src_views if src_views is not None
+               else self._default_src_views())
         sample = self._source_stack(meta, src)
         w, h = self.img_wh
         xs, ys = self._full_image_ids(w, h)
@@ -421,8 +434,8 @@ class NeRDS360AE:
         the vis_only 360-spiral flythrough path (reference spiral poses
         nerds360.py:264-269 applied to the few-shot setting)."""
         meta = self.scene_meta(self.scene_ids[scene_idx])
-        src = src_views if src_views is not None else (
-            SRC_VIEWS_3 if self.num_src_views == 3 else SRC_VIEWS_5_TEST)
+        src = (src_views if src_views is not None
+               else self._default_src_views(test=True))
         sample = self._source_stack(meta, src)
         w, h = self.img_wh
         xs, ys = self._full_image_ids(w, h)
@@ -440,8 +453,8 @@ class NeRDS360AE:
                     src_views: Optional[List[int]] = None):
         """Full-image sample from the scene's val/ directory (test split)."""
         meta = self.scene_meta(self.scene_ids[scene_idx])
-        src = src_views if src_views is not None else (
-            SRC_VIEWS_3 if self.num_src_views == 3 else SRC_VIEWS_5_TEST)
+        src = (src_views if src_views is not None
+               else self._default_src_views(test=True))
         sample = self._source_stack(meta, src)
         w, h = self.img_wh
         xs, ys = self._full_image_ids(w, h)
