@@ -131,15 +131,32 @@ def make_staged_trainer(train_step: Callable):
     optimizer steps — the production pattern for host-sampled pipelines
     (the per-step analogue of make_buffer_trainer's on-device sampling).
 
-    Returns run(state, batches, key) -> (state, metrics_of_last_step) where
-    `batches` is a dict of (K, ...) arrays.
+    Returns run(state, batches, key, const=None) -> (state,
+    metrics_of_last_step) where `batches` is a dict of (K, ...) arrays.
+    `const` (optional dict) is merged into every step's batch WITHOUT the
+    leading K axis — run-constant conditioning (e.g. optimize mode's cached
+    frozen-encoder latents) rides each dispatch once instead of K times.
+
+    K == 1 dispatches skip the scan entirely: wrapping an SPMD train step
+    in a one-trip lax.scan puts the whole program inside a While op, which
+    XLA partitions dramatically slower (a 4-partition XLA:CPU compile of
+    this step goes from >510 s scanned to ~1 min bare) for zero run-time
+    benefit.
     """
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def run(state: TrainState, batches, key):
+    def run(state: TrainState, batches, key, const=None):
+        merge = (lambda b: b) if const is None else \
+            (lambda b: dict(b, **const))
+        k_steps = jax.tree_util.tree_leaves(batches)[0].shape[0]
+        if k_steps == 1:
+            _, k = jax.random.split(key)
+            batch = jax.tree_util.tree_map(lambda b: b[0], batches)
+            return train_step(state, merge(batch), k)
+
         def body(carry, batch):
             state, key = carry
             key, k = jax.random.split(key)
-            state, metrics = train_step(state, batch, k)
+            state, metrics = train_step(state, merge(batch), k)
             return (state, key), metrics
 
         (state, _), metrics = jax.lax.scan(body, (state, key), batches)
