@@ -154,10 +154,10 @@ def main():
                 rays, False, False, out_depth=True, encoded=pack["enc"])
             return {"rgb": out[1]["rgb"], "depth": out[1]["depth"]}
 
-        # 512-ray tiles measured fastest by a wide margin (67.4k rays/s vs
-        # 36.2k at 8192): per-tile conditioned-point intermediates
-        # (~512x65x3 points x 128ch) stay VMEM-resident instead of spilling
-        # to HBM between fusions; the knee is at 512 (256 ties, 1024 -36%).
+        # small tiles keep per-tile conditioned-point intermediates
+        # (~tile x 65 x 3 points x 128ch) VMEM-resident instead of spilling
+        # to HBM between fusions; the knee was re-measured at 256 on
+        # 2026-08-20 (62.7k rays/s vs 37.8k at 512, BASELINE.md).
         chunk = int(os.environ.get("NEO360_BENCH_RENDER_CHUNK", "256"))
         renderer = tl2.make_image_renderer(render_chunk, chunk)
         pack = {"params": variables["params"],

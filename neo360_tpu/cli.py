@@ -65,6 +65,13 @@ def parse_args(argv=None) -> Config:
                    help="scenes mixed per stage (requires stage_k > 1)")
     p.add_argument("--stage_warmup_steps", type=int, default=None,
                    help="per-step-encode steps before the first stage")
+    p.add_argument("--eval_bn_mode", choices=["batch", "running"],
+                   default=None,
+                   help="few-shot eval encode BatchNorm statistics: 'batch' "
+                        "= re-derive from the source stack (default, +1.3-"
+                        "3.8 dB on fixtures); 'running' = the trained "
+                        "running averages (the reference's torch .eval() "
+                        "protocol — use for reference-comparable numbers)")
     a = p.parse_args(argv)
 
     # reference parity: the source-view count rides the render_name's
@@ -255,9 +262,19 @@ def make_loss_fn(cfg: Config, model, variables, lpips_model=None):
 
         def loss_fn(params, model_state, batch, key):
             rays = {k: batch[k] for k in RAY_KEYS_FEWSHOT}
+            # optimize mode: the spatial encoder is frozen with BN eval
+            # (reference neo360/model.py:957-981), so its per-scene output
+            # is a run-constant — run_train caches it ("pixel_latents",
+            # one row per scene) and the ResNet fwd+bwd drops out of the
+            # step. The GridEncoder trunk still trains, exactly as in the
+            # reference.
+            pl = None
+            if "pixel_latents" in batch:
+                pl = batch["pixel_latents"][batch["scene_idx"]]
             out, new_state = model.apply(
                 {"params": params, "batch_stats": model_state},
                 rays, True, cfg.white_back, train=train_bn,
+                pixel_latent=pl,
                 rngs={"sampling": key}, mutable=["batch_stats"])
             l1 = L.img2mse(out[1]["rgb"], batch["target"])
             if proposal:
@@ -466,11 +483,15 @@ def _maybe_resume(ckpt, state):
     try:
         restored = ckpt.restore(jax.device_get(state))
     except Exception as e:
+        # surface the orbax error first — a corrupt checkpoint or IO error
+        # lands here too; the layout mismatch is only the most common cause
         raise ValueError(
-            f"checkpoint at step {latest} does not match this run's trainer "
-            f"state layout — resuming a per-step run with --stage_k (or vice "
-            f"versa) is not supported; start a fresh exp_name or keep the "
-            f"original trainer flags ({type(e).__name__}: {e})") from e
+            f"failed to restore checkpoint at step {latest}: "
+            f"{type(e).__name__}: {e}\n"
+            f"If the error is a tree-structure mismatch, the likely cause "
+            f"is a trainer-layout change — resuming a per-step run with "
+            f"--stage_k (or vice versa) is not supported; start a fresh "
+            f"exp_name or keep the original trainer flags.") from e
     print(f"resumed from checkpoint step {latest}")
     return restored, int(latest)
 
@@ -625,12 +646,36 @@ def run_train(cfg: Config):
         staged = tl.make_staged_trainer(step_fn)
         state = tl.create_train_state(variables["params"], optimizer,
                                       variables["batch_stats"])
+
+    # optimize mode (neo360*): the spatial encoder is frozen with BN eval
+    # and the source stacks are FIXED per scene (reference
+    # neo360/model.py:957-981, nerds360_ae.py:542-556), so its pixel
+    # latents are run-constants — encode each scene ONCE here and drop the
+    # ResNet fwd+bwd from every step. The GridEncoder trunk (depth_fc,
+    # pillars, floorplan convs) still trains per step, exactly as in the
+    # reference. finetune_lpips draws RANDOM source views per sample, so
+    # no caching is possible there.
+    opt_const = None
+    if cfg.is_optimize and cfg.exp_type in ("neo360", "neo360_fast"):
+        from neo360_tpu.models.neo360 import NeRFTP
+        lat_fn = jax.jit(lambda v, imgs: model.apply(
+            v, imgs, False, method=NeRFTP.encode_images))
+        enc_vars = {"params": variables["params"],
+                    "batch_stats": variables["batch_stats"]}
+        lats = [lat_fn(enc_vars, jnp.asarray(
+                    train_ds.optimize_source_stack(s)["src_imgs"]))
+                for s in range(len(train_ds.scene_ids))]
+        opt_const = {"pixel_latents": jnp.stack(lats)}
+        print(f"optimize mode: cached frozen spatial-encoder latents for "
+              f"{len(lats)} scene(s); ResNet fwd+bwd dropped from the step")
     state, start_step = _maybe_resume(ckpt, state)
     start_step = max(start_step, warm_steps)
     place_fn = None
     if mesh is not None:
         from neo360_tpu.parallel import sharding as sh
         state = sh.replicate_tree(state, mesh)
+        if opt_const is not None:
+            opt_const = sh.replicate_tree(opt_const, mesh)
         if use_stage:
             ray_axis = 3 if cfg.stage_scenes > 1 else 2
 
@@ -649,6 +694,9 @@ def run_train(cfg: Config):
     def staged_iterator():
         rng = np.random.default_rng(cfg.seed)
         keys = RAY_KEYS_FEWSHOT + ("target",)
+        if opt_const is not None:
+            # per-step scene id indexes the cached per-scene latents
+            keys = keys + ("scene_idx",)
         while True:
             if use_stage:
                 stages = [train_ds.sample_train_stage(
@@ -674,7 +722,7 @@ def run_train(cfg: Config):
         if use_stage:
             state, m = runner(state, batches[0], batches[1], k_i)
         else:
-            state, m = staged(state, batches, k_i)
+            state, m = staged(state, batches, k_i, opt_const)
         step += stage_size
         if step % cfg.log_every_steps < stage_size:
             logger.log(step, {k: float(v) for k, v in m.items()})
@@ -790,6 +838,10 @@ def run_eval(cfg: Config):
                    for d in range(len(
                        test_ds.scene_meta(test_ds.scene_ids[s]).c2w_test)))
 
+    if cfg.exp_type in ("pixelnerf", "neo360", "neo360_fast"):
+        # reference-comparable numbers need --eval_bn_mode running (the
+        # torch .eval() protocol); "batch" measures +1.3-3.8 dB on fixtures
+        print(f"eval encode BN mode: {cfg.eval_bn_mode}")
     out_dir = os.path.join(exp_dir, cfg.render_name)
     summary = ev.evaluate_and_save(
         render_fn, samples, cfg.img_wh, out_dir, lpips_model,

@@ -239,6 +239,17 @@ class NeRDS360AE:
             "src_c": np.tile(meta.c, (nv, 1)).astype(np.float32),
         }
 
+    def optimize_source_stack(self, scene_idx: int) -> Dict[str, np.ndarray]:
+        """The optimize-mode FIXED source stack of scene `scene_idx`
+        (reference nerds360_ae.py:542-556 src lists) — the same stack
+        sample_train draws in optimize mode, exposed so run_train can cache
+        the frozen spatial-encoder latents per scene (cli.run_train)."""
+        src = (SRC_VIEWS_3 if self.num_src_views == 3
+               else SRC_VIEWS_5_OPTIMIZE if self.num_src_views == 5
+               else SRC_VIEWS_3[:1])
+        meta = self.scene_meta(self.scene_ids[scene_idx])
+        return self._source_stack(meta, list(src))
+
     # ---------------- ray batches ----------------
 
     def _dest_rays(self, meta: SceneMeta, view_ids: np.ndarray,
@@ -286,9 +297,11 @@ class NeRDS360AE:
         return len(self.scene_ids)
 
     def sample_train(self, rng: np.random.Generator) -> Dict[str, np.ndarray]:
-        """One training sample: source stack + ray batch."""
-        meta = self.scene_meta(
-            self.scene_ids[rng.integers(len(self.scene_ids))])
+        """One training sample: source stack + ray batch. `scene_idx`
+        (host-side int) identifies the drawn scene so optimize-mode callers
+        can look up per-scene cached encoder latents (cli.run_train)."""
+        sid = int(rng.integers(len(self.scene_ids)))
+        meta = self.scene_meta(self.scene_ids[sid])
         w, h = self.img_wh
         n_train = len(meta.c2w_train)
 
@@ -322,6 +335,7 @@ class NeRDS360AE:
         sample.update(self._dest_rays(
             meta, view_ids, xs, ys, meta.c2w_train, meta.img_files_train,
             "train"))
+        sample["scene_idx"] = np.asarray(sid, np.int32)
         return sample
 
     def _stage_for_scene(self, rng, meta, k_steps: int, n_rays: int):

@@ -229,8 +229,17 @@ class NeRFTP(nn.Module):
                            name=f"local_proj_{name}")
             for name in branches}
 
+    def encode_images(self, src_imgs, train: bool = False):
+        """The frozen prefix of `encode`: SpatialEncoder pixel latents
+        (NV, H/2, W/2, 512). The optimize/finetune freeze protocol
+        (reference neo360/model.py:957-981) freezes exactly this module
+        (BN eval), so for a fixed source stack the output is a
+        run-constant — cache it and pass as `pixel_latent` to skip the
+        ResNet fwd+bwd every step."""
+        return self.encoder.spatial_encoder(src_imgs, train)
+
     def encode(self, src_imgs, src_poses, src_focal, src_c,
-               train: bool = False):
+               train: bool = False, pixel_latent=None):
         """-> (plane corner-tables, {branch: local corner-table}, hw info).
 
         Every map that will be point-indexed is re-laid-out as a 2x2
@@ -242,7 +251,7 @@ class NeRFTP(nn.Module):
         descriptors.
         """
         planes, pixel_latent = self.encoder(
-            src_imgs, src_poses, src_focal, src_c, train)
+            src_imgs, src_poses, src_focal, src_c, train, pixel_latent)
         table_dtype = self.compute_dtype
         plane_tables = tuple(
             build_corner_table(p, "zeros", dtype=table_dtype) for p in planes)
@@ -297,16 +306,20 @@ class NeRFTP(nn.Module):
 
     def __call__(self, rays: Dict[str, jnp.ndarray], randomized: bool,
                  white_bkgd: bool, out_depth: bool = False,
-                 encoded: Optional[Tuple] = None, train: bool = False):
+                 encoded: Optional[Tuple] = None, train: bool = False,
+                 pixel_latent: Optional[jnp.ndarray] = None):
         """rays: rays_o/rays_d/viewdirs (B,3), src_imgs (NV,H,W,3),
         src_poses (NV,4,4), src_focal (NV,), src_c (NV,2).
+        `pixel_latent`: cached frozen SpatialEncoder output (see
+        `encode_images`); only consulted when `encoded` is None.
 
         Returns a list (one dict per level) with comp_rgb, fg/bg parts,
         weights and sdist mids (for the distortion loss), optional depth.
         """
         if encoded is None:
             encoded = self.encode(rays["src_imgs"], rays["src_poses"],
-                                  rays["src_focal"], rays["src_c"], train)
+                                  rays["src_focal"], rays["src_c"], train,
+                                  pixel_latent)
         plane_tables, local_tables = encoded[0], encoded[1]
         # optional 4th element (s_idx, n_scenes): the SCENE-MIXED stage
         # trainer passes FLAT multi-scene tables (scene axis folded into the

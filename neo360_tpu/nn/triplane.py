@@ -212,9 +212,16 @@ class GridEncoder(nn.Module):
                                              name="floorplan_xy")
 
     def __call__(self, images: jnp.ndarray, poses: jnp.ndarray,
-                 focal: jnp.ndarray, c: jnp.ndarray, train: bool = False):
+                 focal: jnp.ndarray, c: jnp.ndarray, train: bool = False,
+                 pixel_latent: jnp.ndarray = None):
         """images (NV, H, W, 3) in [-1,1]; poses (NV, 4, 4); focal (NV,);
         c (NV, 2).
+
+        `pixel_latent`: precomputed SpatialEncoder output (NV, H/2, W/2,
+        512). The optimize/finetune freeze protocol (reference
+        neo360/model.py:957-981) freezes exactly the spatial_encoder with
+        BN in eval mode, so its output for a fixed source stack is a
+        run-constant — callers cache it and skip the ResNet fwd+bwd here.
 
         Returns (plane_xz, plane_xy, plane_yz) each (NV, 120, 160, 128) and
         the pixel latent (NV, H/2, W/2, 512) for local-feature indexing.
@@ -223,7 +230,8 @@ class GridEncoder(nn.Module):
         gx, gy, gz = self.grid_size
         sx, sy, sz = self.side_lengths
 
-        pixel_latent = self.spatial_encoder(images, train)
+        if pixel_latent is None:
+            pixel_latent = self.spatial_encoder(images, train)
 
         world_grid = geometry.get_world_grid(
             [[-sx, sx], [-sy, sy], [0.0, sz]], list(self.grid_size))

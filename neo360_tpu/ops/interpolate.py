@@ -167,6 +167,11 @@ def table_sample(table: jnp.ndarray, uv: jnp.ndarray, hw: tuple,
     views = jnp.arange(b, dtype=jnp.int32)
     if view_offset is not None:
         views = views + view_offset
+        if total_views is not None:
+            # an out-of-range offset would otherwise feed a
+            # promise_in_bounds gather silent garbage; clipping the tiny
+            # (B,) view ids is free and keeps the no-select lowering
+            views = jnp.clip(views, 0, total_views - 1)
     base = (views * (hp * wp))[:, None]
     idx = base + yb * wp + xb
     n = uv.shape[1]

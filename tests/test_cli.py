@@ -83,6 +83,32 @@ def test_neo360_cli_train_smoke(multi_scene_root, tmp_path, monkeypatch):
     assert os.path.exists(metrics_file)
 
 
+def test_neo360_cli_optimize_cached_latents(multi_scene_root, tmp_path,
+                                            monkeypatch, capsys):
+    """Optimize mode through cli.run_train caches the frozen spatial-encoder
+    latents once per scene and trains against them (the ResNet fwd+bwd drops
+    out of the step); training still advances and logs. Reference freeze
+    protocol neo360/model.py:957-981."""
+    from neo360_tpu.models.neo360 import NeRFTP
+
+    def tiny_build(cfg):
+        return NeRFTP(num_coarse_samples=4, num_fine_samples=4,
+                      grid_size=(8, 8, 8),
+                      num_src_views=cfg.num_src_views)
+
+    monkeypatch.setattr(cli, "build_model", tiny_build)
+    cfg = cli.parse_args([
+        "--exp_type", "neo360", "--root_dir", multi_scene_root,
+        "--img_wh", "40", "30", "--run_max_steps", "4",
+        "--ray_batch_size", "16", "--exp_name", "o", "--is_optimize",
+        "--ckpt_dir", str(tmp_path), "--save_every_steps", "1000"])
+    cfg = cfg.replace(steps_per_call=2)
+    state = cli.run_train(cfg)
+    assert int(np.asarray(state.step)) == 4
+    assert "cached frozen spatial-encoder latents" in capsys.readouterr().out
+    assert os.path.exists(os.path.join(str(tmp_path), "o", "metrics.jsonl"))
+
+
 @pytest.mark.slow
 def test_neo360_cli_stage_train_smoke(multi_scene_root, tmp_path,
                                       monkeypatch):

@@ -108,6 +108,26 @@ def test_neo360_encode_once_matches_inline(multi_scene_root):
                                np.asarray(b[1]["rgb"]), atol=1e-6)
 
 
+def test_neo360_cached_pixel_latent_matches_inline(multi_scene_root):
+    """Optimize-mode prefix caching (cli.run_train): a precomputed frozen
+    spatial-encoder latent passed as `pixel_latent` must give bitwise the
+    inline-encode forward (reference freeze protocol
+    neo360/model.py:957-981 freezes exactly that module)."""
+    ds, batch = _batch(multi_scene_root, n_rays=4)
+    model = _tiny_model()
+    rays = {k: batch[k] for k in RAY_KEYS}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        rays, True, False)
+    pl = model.apply(variables, rays["src_imgs"],
+                     method=NeRFTP.encode_images)
+    assert pl.ndim == 4 and pl.shape[0] == rays["src_imgs"].shape[0]
+    a = model.apply(variables, rays, False, False)
+    b = model.apply(variables, rays, False, False, pixel_latent=pl)
+    np.testing.assert_array_equal(np.asarray(a[1]["rgb"]),
+                                  np.asarray(b[1]["rgb"]))
+
+
 @pytest.mark.slow
 def test_neo360_grads_flow(multi_scene_root):
     ds, batch = _batch(multi_scene_root, n_rays=4)
