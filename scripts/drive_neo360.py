@@ -39,6 +39,10 @@ def main():
     # NEO360_DRIVE_FIXTURE_SCENES: fixture scene count (scene-mixed stages
     # draw NEO360_DRIVE_SCENES distinct scenes per stage, so need >= that)
     n_fix = int(os.environ.get("NEO360_DRIVE_FIXTURE_SCENES", "2"))
+    # NEO360_DRIVE_SEED: seeds init + data sampling + train keys (fixture
+    # scenes stay fixed so every seed shares the same val protocol). Keys
+    # are data, not compile constants — all seeds share compiled programs.
+    seed = int(os.environ.get("NEO360_DRIVE_SEED", "0"))
     root = make_multi_scene_root(tempfile.mkdtemp(prefix="neo360_drive_"),
                                  n_scenes=n_fix, wh=(64, 48))
     # NEO360_DRIVE_RAYS: large-batch A/B (LR scaled ~sqrt of batch ratio)
@@ -70,11 +74,12 @@ def main():
                    local_proj_dim=locald)
     print("proposal mode:", proposal)
 
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     s0 = {k: jnp.asarray(v) for k, v in ds.sample_train(rng).items()}
     rays0 = {k: s0[k] for k in RAY_KEYS}
     variables = model.init(
-        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        {"params": jax.random.PRNGKey(seed),
+         "sampling": jax.random.PRNGKey(seed + 1)},
         rays0, True, False, train=False)
     lr = 1e-3 * float(np.sqrt(n_rays / 512.0))
     opt = optax.chain(optax.clip_by_global_norm(0.05), optax.adam(lr))
@@ -104,8 +109,9 @@ def main():
     stage_k = int(os.environ.get("NEO360_DRIVE_STAGE", "0"))
     k_steps = max(16, stage_k)          # steps per dispatch
     n_dispatch = int(os.environ.get("NEO360_DRIVE_DISPATCHES", "30"))
-    key = jax.random.PRNGKey(7)
+    key = jax.random.PRNGKey(7 + 1000 * seed)
     tot_t = 0.0
+    n_timed = 0        # dispatches actually counted into tot_t
 
     # NEO360_DRIVE_SCENES=S (>1): SCENE-MIXED stages — S scenes encoded once
     # per stage, each step's rays drawn from all S scenes (fixes the
@@ -161,6 +167,7 @@ def main():
                 dt = time.time() - t0
                 if d > 0:
                     tot_t += dt
+                    n_timed += 1
                 print(f"warmup   {d:02d}  step {int(wstate.step):4d}  "
                       f"mse {mse:.4f}  psnr {-10*np.log10(mse):5.2f}  "
                       f"{dt:6.2f}s", flush=True)
@@ -185,6 +192,7 @@ def main():
             dt = time.time() - t0
             if d > n_warm:      # first stage dispatch includes the compile
                 tot_t += dt
+                n_timed += 1
             print(f"dispatch {d:02d}  step {int(sstate.step):4d}  "
                   f"mse {mse:.4f}  psnr {-10*np.log10(mse):5.2f}  "
                   f"{dt:6.2f}s", flush=True)
@@ -204,11 +212,14 @@ def main():
             dt = time.time() - t0
             if d > 0:
                 tot_t += dt
+                n_timed += 1
             print(f"dispatch {d:02d}  step {int(state.step):4d}  "
                   f"mse {mse:.4f}  psnr {-10*np.log10(mse):5.2f}  "
                   f"{dt:6.2f}s", flush=True)
 
-    rays_s = (n_dispatch - 1) * k_steps * n_rays / tot_t
+    # numerator = dispatches actually timed (with a warmup phase, BOTH the
+    # first warmup and the first stage dispatch are compile-excluded)
+    rays_s = n_timed * k_steps * n_rays / tot_t
     print(f"train throughput (post-compile): {rays_s:,.0f} rays/s")
 
     # ---- render ALL held-out tail views of every scene (encode once per

@@ -1,0 +1,84 @@
+"""Production-path sustained throughput (round-4 VERDICT item 3).
+
+Runs the REAL entry point — cli.run_train with the neo360_fast preset
+(scene-mixed K=32 S=2 stage trainer) — on a >=4-scene 320x240 fixture root
+for a few thousand steps on the TPU, and reports sustained rays/s INCLUDING
+host sampling + prefetch, next to bench.py's device-only headline. Also
+splits host vs device time by probing the staged iterator's sample cost.
+
+Usage: JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache \
+       PYTHONPATH=/root/repo:/root/.axon_site python scripts/sustain_cli.py
+"""
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    from neo360_tpu import cli
+    from neo360_tpu.config import preset
+    from neo360_tpu.data.fixtures import make_multi_scene_root
+    from neo360_tpu.data.nerds360_ae import NeRDS360AE
+
+    n_scenes = int(os.environ.get("SUSTAIN_SCENES", "4"))
+    steps = int(os.environ.get("SUSTAIN_STEPS", "2048"))
+    wh = (320, 240)
+    print(f"building {n_scenes}-scene 320x240 fixture root...", flush=True)
+    root = make_multi_scene_root(
+        tempfile.mkdtemp(prefix="sustain_"), n_scenes=n_scenes, wh=wh)
+    ckpt_dir = tempfile.mkdtemp(prefix="sustain_ckpts_")
+
+    cfg = preset(
+        "neo360_fast", root_dir=root, exp_name="sustain", ckpt_dir=ckpt_dir,
+        img_wh=wh, ray_batch_size=512, run_max_steps=steps,
+        steps_per_call=64, save_every_steps=10 ** 6,
+        val_every_steps=10 ** 6, num_src_views=3)
+
+    # host-side cost probe: how long does ONE stage sample take to draw?
+    ds = NeRDS360AE(root, "train", wh, 3, 512)
+    rng = np.random.default_rng(0)
+    _ = ds.sample_train_stage(rng, cfg.stage_k, n_scenes=cfg.stage_scenes)
+    t0 = time.time()
+    for _ in range(3):
+        _ = ds.sample_train_stage(rng, cfg.stage_k,
+                                  n_scenes=cfg.stage_scenes)
+    host_per_stage = (time.time() - t0) / 3
+    print(f"host sample_train_stage (K={cfg.stage_k}, S={cfg.stage_scenes}):"
+          f" {host_per_stage * 1e3:.0f} ms per stage "
+          f"({host_per_stage / cfg.stage_k * 1e3:.1f} ms/step equiv)",
+          flush=True)
+
+    print(f"cli.run_train: {steps} steps, K={cfg.stage_k} "
+          f"S={cfg.stage_scenes} fine={cfg.num_fine_samples}", flush=True)
+    t0 = time.time()
+    cli.run_train(cfg)
+    dt = time.time() - t0
+    rays = steps * cfg.ray_batch_size
+    print(f"TOTAL wall clock {dt:.1f}s (incl. compile+init) = "
+          f"{rays / dt:,.0f} rays/s", flush=True)
+
+    # steady-state: rerun with half the steps from a fresh state; the
+    # difference isolates the post-compile sustained rate (both runs pay
+    # the same compile+init, cache-warm)
+    cfg2 = cfg.replace(run_max_steps=steps // 2, exp_name="sustain2")
+    t0 = time.time()
+    cli.run_train(cfg2)
+    dt2 = time.time() - t0
+    sustained = (rays - steps // 2 * cfg.ray_batch_size) / max(dt - dt2, 1e-9)
+    print(f"half-run wall clock {dt2:.1f}s -> sustained "
+          f"(difference method): {sustained:,.0f} rays/s over "
+          f"{steps - steps // 2} steps", flush=True)
+    print(f"SUSTAINED cli.run_train: {sustained:,.0f} rays/s "
+          f"(host stage-sample {host_per_stage * 1e3:.0f} ms / "
+          f"{cfg.stage_k}-step stage)")
+
+
+if __name__ == "__main__":
+    main()
