@@ -20,8 +20,43 @@ TPU design notes:
 
 from __future__ import annotations
 
+import functools
+import os
+
 import numpy as np
+import jax
 import jax.numpy as jnp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _gather_rows_sorted_bwd(flat: jnp.ndarray, idx: jnp.ndarray,
+                            n_rows: int) -> jnp.ndarray:
+    """Row gather whose BACKWARD is sort + sorted segment_sum instead of
+    XLA's scatter-add (round-4 scatter-floor attack, BASELINE.md: the
+    fine-level table scatter-adds are ~28% of the adopted train step and
+    run at XLA scatter's ~45-51 GB/s ceiling). Sorting the cotangent rows
+    by destination first makes the accumulation a segment reduction over
+    contiguous runs, which can lower without the scatter's read-modify-write
+    ordering. Forward is identical to `flat.at[idx].get()`; enable via
+    NEO360_SORTED_SCATTER=1 (measured on TPU by scripts/bench_scatter.py
+    before any adoption)."""
+    return flat.at[idx].get(mode="promise_in_bounds")
+
+
+def _gather_sorted_fwd(flat, idx, n_rows):
+    return flat.at[idx].get(mode="promise_in_bounds"), idx
+
+
+def _gather_sorted_bwd(n_rows, idx, g):
+    order = jnp.argsort(idx)
+    g_sorted = g.at[order].get(mode="promise_in_bounds")
+    grad_flat = jax.ops.segment_sum(
+        g_sorted, idx.at[order].get(mode="promise_in_bounds"),
+        num_segments=n_rows, indices_are_sorted=True)
+    return grad_flat.astype(g.dtype), None
+
+
+_gather_rows_sorted_bwd.defvjp(_gather_sorted_fwd, _gather_sorted_bwd)
 
 
 def grid_sample_2d(image: jnp.ndarray, uv: jnp.ndarray,
@@ -180,7 +215,10 @@ def table_sample(table: jnp.ndarray, uv: jnp.ndarray, hw: tuple,
     # 786k-row encoder lift). Flat (B*N, 4C) shapes throughout: the 3-D
     # (B, N, 4C) form made XLA pick a points-in-lanes layout for the
     # downstream matmul and insert two full-size layout copies.
-    rows = flat.at[idx.reshape(-1)].get(mode="promise_in_bounds")
+    if os.environ.get("NEO360_SORTED_SCATTER", "0") == "1":
+        rows = _gather_rows_sorted_bwd(flat, idx.reshape(-1), n_rows)
+    else:
+        rows = flat.at[idx.reshape(-1)].get(mode="promise_in_bounds")
     # weighted corner fold in the TABLE's dtype via 2-D slices of the flat
     # {1,0}-layout rows (a (B,N,4C) reshape here makes XLA materialize a
     # retiled copy, 13 ms/step on the encoder lift; casting rows to f32 up

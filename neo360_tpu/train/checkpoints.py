@@ -51,7 +51,16 @@ class CheckpointManager:
 
     def save(self, step: int, state: Any,
              metrics: Optional[Dict[str, float]] = None):
-        if not self.primary:
+        # In a REAL jax.distributed run every process must enter orbax's
+        # save — orbax coordinates internally (sync_global_devices barriers;
+        # only the owning hosts write data). Skipping non-primary there
+        # desyncs its barriers against any later collective (observed:
+        # 'CheckpointManager:save_start' name mismatch in
+        # scripts/multihost_smoke.py). The rank-0 guard is for explicitly
+        # single-writer setups (primary=False passed, e.g. per-host private
+        # experiment dirs with replicated state).
+        import jax
+        if not self.primary and jax.process_count() == 1:
             return
         self._mgr.save(step, args=ocp.args.StandardSave(state),
                        metrics={k: float(v) for k, v in (metrics or {}).items()})

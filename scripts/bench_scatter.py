@@ -105,6 +105,33 @@ def main():
         except Exception as e:
             print(f"{name:>16}: FAILED {type(e).__name__}: {e}")
 
+    # ---- end-to-end: table_sample fwd+bwd with each backward lowering ----
+    # (the production op this feeds: ops/interpolate.table_sample; env
+    # NEO360_SORTED_SCATTER=1 swaps the gather VJP for sort+segment_sum)
+    from neo360_tpu.ops.interpolate import build_corner_table, table_sample
+    hw = (64, 64)   # production fine-level plane table per view
+    nv, n_pts_ts = 3, 8 * 65 * 24   # ~B*S points per view-row set
+    img = jnp.asarray(rng.normal(size=(nv, hw[0], hw[1], 128)), dt)
+    table = build_corner_table(img, "zeros")
+    uv = jnp.asarray(rng.uniform(-1, 1, size=(nv, n_pts_ts, 2)), jnp.float32)
+
+    def make_vjp_fn():
+        @jax.jit
+        def f(tbl, uv):
+            loss = jnp.sum(table_sample(tbl, uv, hw, "zeros") ** 2)
+            return jax.grad(
+                lambda t: jnp.sum(table_sample(t, uv, hw, "zeros") ** 2)
+            )(tbl)
+        return f
+
+    for mode in ("0", "1"):
+        os.environ["NEO360_SORTED_SCATTER"] = mode
+        f = make_vjp_fn()
+        dt_s = timeit(f, table, uv)
+        label = "sorted_segsum" if mode == "1" else "scatter_add"
+        print(f"table_sample vjp [{label:>13}]: {dt_s * 1e3:8.2f} ms")
+    os.environ.pop("NEO360_SORTED_SCATTER", None)
+
 
 if __name__ == "__main__":
     main()

@@ -83,6 +83,7 @@ def test_neo360_cli_train_smoke(multi_scene_root, tmp_path, monkeypatch):
     assert os.path.exists(metrics_file)
 
 
+@pytest.mark.slow
 def test_neo360_cli_optimize_cached_latents(multi_scene_root, tmp_path,
                                             monkeypatch, capsys):
     """Optimize mode through cli.run_train caches the frozen spatial-encoder

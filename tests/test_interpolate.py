@@ -141,3 +141,44 @@ def test_table_sample_flat_multiscene():
     np.testing.assert_allclose(
         np.asarray(g_flat.reshape(g_ref.shape)), np.asarray(g_ref),
         rtol=1e-5, atol=1e-6)
+
+
+def test_sorted_scatter_backward_matches(monkeypatch):
+    """NEO360_SORTED_SCATTER=1 swaps the table gather's backward for a
+    sort + sorted segment_sum; gradients must match XLA's scatter-add
+    (ops/interpolate._gather_rows_sorted_bwd)."""
+    import jax
+    import jax.numpy as jnp
+    from neo360_tpu.ops import interpolate as I
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.normal(size=(2, 5, 6, 3)), jnp.float32)
+    uv = jnp.asarray(rng.uniform(-1.2, 1.2, size=(2, 9, 2)), jnp.float32)
+    table = I.build_corner_table(imgs, "zeros")
+
+    def loss(t):
+        return jnp.sum(I.table_sample(t, uv, (5, 6), "zeros") ** 2)
+
+    monkeypatch.delenv("NEO360_SORTED_SCATTER", raising=False)
+    g_ref = jax.grad(loss)(table)
+    monkeypatch.setenv("NEO360_SORTED_SCATTER", "1")
+    g_sorted = jax.grad(loss)(table)
+    np.testing.assert_allclose(np.asarray(g_sorted), np.asarray(g_ref),
+                               rtol=1e-6, atol=1e-6)
+
+    # vmapped flat multi-scene form (the stage trainer's lowering)
+    flat = table.reshape((-1,) + table.shape[2:])
+
+    def loss_flat(f):
+        def one(uv_s, off):
+            return jnp.sum(I.table_sample(
+                f, uv_s[None], (5, 6), "zeros", view_offset=off,
+                total_views=2) ** 2)
+        offs = jnp.arange(2, dtype=jnp.int32)
+        return jnp.sum(jax.vmap(one)(uv, offs))
+
+    g_flat_sorted = jax.grad(loss_flat)(flat)
+    monkeypatch.delenv("NEO360_SORTED_SCATTER", raising=False)
+    g_flat_ref = jax.grad(loss_flat)(flat)
+    np.testing.assert_allclose(np.asarray(g_flat_sorted),
+                               np.asarray(g_flat_ref), rtol=1e-6, atol=1e-6)

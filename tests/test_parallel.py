@@ -141,3 +141,23 @@ def test_graft_entry_single_chip_compiles():
     out = jax.jit(fn)(*args)
     assert out.shape == (64, 3)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+@pytest.mark.slow
+def test_two_process_multihost_smoke():
+    """REAL jax.distributed 2-process run (SURVEY §5's last line): scene
+    sharding by true process_index, cross-process dp step, rank-0 logger
+    guard, orbax save entered by all processes. Runs the standalone smoke
+    (scripts/multihost_smoke.py) in subprocesses — ~5 min on the 1-core
+    host (two concurrent CPU compiles)."""
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    r = subprocess.run(
+        [sys.executable, "-u",
+         os.path.join(repo, "scripts", "multihost_smoke.py")],
+        env=env, cwd=repo, capture_output=True, timeout=1500, text=True)
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-2000:]
+    assert "MULTIHOST SMOKE: PASS" in r.stdout
