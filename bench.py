@@ -31,9 +31,33 @@ def _stamp(msg, _t0=[None]):
 
 
 def main():
+    # Backend-init watchdog: a dead axon tunnel makes the first jax call
+    # block forever inside PJRT client creation (observed 2026-08-21 after
+    # a relay crash), which would surface as an undiagnosable rc=124. The
+    # watchdog thread turns that into an explicit one-line failure.
+    import os
+    import sys
+    import threading
+    init_done = threading.Event()
+    init_budget = float(os.environ.get("NEO360_BENCH_INIT_TIMEOUT", "300"))
+
+    def _watchdog():
+        if not init_done.wait(init_budget):
+            print(json.dumps({
+                "metric": "neo360_train_rays_per_sec_per_chip",
+                "value": 0.0, "unit": "rays/s", "vs_baseline": 0.0,
+                "error": f"TPU backend init exceeded {init_budget:.0f}s "
+                         f"(axon tunnel down?)"}), flush=True)
+            sys.stderr.flush()
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
     import jax.numpy as jnp
     import optax
+    jax.devices()
+    init_done.set()
 
     # Persistent compilation cache: the staged NeO-360 trainer is a large
     # program (remote compile can take minutes cold); warm runs load the
@@ -57,6 +81,24 @@ def main():
     # reference uses 500 rays/step; default pads to the lane-friendly 512
     n_rays = int(os.environ.get("NEO360_BENCH_RAYS", "512"))
     batch = _example_inputs(n_rays=n_rays, hw=(240, 320), seed=0)
+    # NEO360_BENCH_FIXTURE=1: draw the bench batch from a real NERDS360-
+    # layout fixture scene instead of random poses on a sphere — identical
+    # shapes/dtypes (same compiled program), but real camera ray geometry
+    # (sphere-hit distribution, source-view frusta). Answers whether the
+    # synthetic batch biases the throughput reading; BASELINE.md records
+    # the A/B.
+    if os.environ.get("NEO360_BENCH_FIXTURE", "0") == "1":
+        import tempfile
+        from neo360_tpu.data.fixtures import make_multi_scene_root
+        from neo360_tpu.data.nerds360_ae import NeRDS360AE
+        root = os.path.join(tempfile.gettempdir(), "neo360_bench_fix_320")
+        if not os.path.isdir(root) or not os.listdir(root):
+            make_multi_scene_root(root, n_scenes=1, wh=(320, 240))
+        ds = NeRDS360AE(root, "train", (320, 240), 3, n_rays)
+        fix = ds.sample_train(np.random.default_rng(0))
+        batch = {k: jnp.asarray(fix[k]) if k in fix else v
+                 for k, v in batch.items()}
+        _stamp("fixture batch drawn (real ray geometry)")
     ray_keys = ("rays_o", "rays_d", "viewdirs", "src_imgs", "src_poses",
                 "src_focal", "src_c")
 

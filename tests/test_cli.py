@@ -83,7 +83,6 @@ def test_neo360_cli_train_smoke(multi_scene_root, tmp_path, monkeypatch):
     assert os.path.exists(metrics_file)
 
 
-@pytest.mark.slow
 def test_neo360_cli_optimize_cached_latents(multi_scene_root, tmp_path,
                                             monkeypatch, capsys):
     """Optimize mode through cli.run_train caches the frozen spatial-encoder
@@ -93,19 +92,28 @@ def test_neo360_cli_optimize_cached_latents(multi_scene_root, tmp_path,
     from neo360_tpu.models.neo360 import NeRFTP
 
     def tiny_build(cfg):
+        # remat off: the remat'd optimize step costs >40 min of XLA:CPU
+        # compile; encode_images through the remat wrapper is covered by
+        # test_neo360.py::test_encode_images_under_remat
         return NeRFTP(num_coarse_samples=4, num_fine_samples=4,
-                      grid_size=(8, 8, 8),
+                      grid_size=(8, 8, 8), remat_encoder=False,
                       num_src_views=cfg.num_src_views)
 
     monkeypatch.setattr(cli, "build_model", tiny_build)
+    # single device: an 8-partition SPMD compile of the optimize step takes
+    # tens of minutes on XLA:CPU; the mesh wiring is covered by the other
+    # cli smokes — this test is about the cached-latent path
+    monkeypatch.setattr(cli, "_make_mesh_if_multichip", lambda: None)
     cfg = cli.parse_args([
         "--exp_type", "neo360", "--root_dir", multi_scene_root,
-        "--img_wh", "40", "30", "--run_max_steps", "4",
+        "--img_wh", "40", "30", "--run_max_steps", "2",
         "--ray_batch_size", "16", "--exp_name", "o", "--is_optimize",
         "--ckpt_dir", str(tmp_path), "--save_every_steps", "1000"])
-    cfg = cfg.replace(steps_per_call=2)
+    # steps_per_call=1 takes the scanless dispatch (train/loop.py): a
+    # scan-wrapped step costs >10 min of XLA:CPU compile even on 1 device
+    cfg = cfg.replace(steps_per_call=1)
     state = cli.run_train(cfg)
-    assert int(np.asarray(state.step)) == 4
+    assert int(np.asarray(state.step)) == 2
     assert "cached frozen spatial-encoder latents" in capsys.readouterr().out
     assert os.path.exists(os.path.join(str(tmp_path), "o", "metrics.jsonl"))
 

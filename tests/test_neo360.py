@@ -128,6 +128,23 @@ def test_neo360_cached_pixel_latent_matches_inline(multi_scene_root):
                                   np.asarray(b[1]["rgb"]))
 
 
+def test_encode_images_under_remat(multi_scene_root):
+    """encode_images must reach the spatial encoder through the nn.remat
+    wrapper too (production models default remat_encoder=True; the optimize
+    cached-latent path calls it on the wrapped encoder)."""
+    ds, batch = _batch(multi_scene_root, n_rays=4)
+    model = _tiny_model(remat_encoder=True)
+    rays = {k: batch[k] for k in RAY_KEYS}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        rays, True, False)
+    pl = model.apply(variables, rays["src_imgs"],
+                     method=NeRFTP.encode_images)
+    ref = _tiny_model(remat_encoder=False).apply(
+        variables, rays["src_imgs"], method=NeRFTP.encode_images)
+    np.testing.assert_array_equal(np.asarray(pl), np.asarray(ref))
+
+
 @pytest.mark.slow
 def test_neo360_grads_flow(multi_scene_root):
     ds, batch = _batch(multi_scene_root, n_rays=4)
