@@ -656,7 +656,10 @@ def run_train(cfg: Config):
     # reference. finetune_lpips draws RANDOM source views per sample, so
     # no caching is possible there.
     opt_const = None
-    if cfg.is_optimize and cfg.exp_type in ("neo360", "neo360_fast"):
+    if cfg.is_optimize and cfg.exp_type in ("neo360", "neo360_fast") \
+            and os.environ.get("NEO360_OPT_NO_CACHE", "0") != "1":
+        # NEO360_OPT_NO_CACHE=1 restores per-step encoding (A/B lever for
+        # scripts/optimize_speedup.py; numerically identical either way)
         from neo360_tpu.models.neo360 import NeRFTP
         lat_fn = jax.jit(lambda v, imgs: model.apply(
             v, imgs, False, method=NeRFTP.encode_images))
