@@ -353,16 +353,25 @@ class NeRDS360AE:
             dest_pool = np.setdiff1d(np.arange(n_train), src)
         sample = self._source_stack(meta, list(src))
         n_dest = min(self.dest_views_per_sample, len(dest_pool))
-        rays = []
+        # draw per-step indices in the same rng order as the per-step path
+        # (bit-identical batches), but run ONE vectorized _dest_rays over
+        # the flattened (K*B,) triples: each touched view's pose math and
+        # pixel fancy-indexing happens once per STAGE instead of once per
+        # step — the host sampler must outrun the ~1.9 s device stage to
+        # prefetch-overlap, and the K-looped form measured 1.7 s/stage at
+        # production shapes (K=32 S=2, 320x240) on a 1-core host.
+        vids, xss, yss = [], [], []
         for _ in range(k_steps):
             dest = rng.choice(dest_pool, n_dest, replace=False)
-            view_ids = dest[rng.integers(0, n_dest, n_rays)]
-            xs = rng.integers(0, w, n_rays)
-            ys = rng.integers(0, h, n_rays)
-            rays.append(self._dest_rays(meta, view_ids, xs, ys,
-                                        meta.c2w_train,
-                                        meta.img_files_train, "train"))
-        stacked = {k: np.stack([r[k] for r in rays]) for k in rays[0]}
+            vids.append(dest[rng.integers(0, n_dest, n_rays)])
+            xss.append(rng.integers(0, w, n_rays))
+            yss.append(rng.integers(0, h, n_rays))
+        flat = self._dest_rays(
+            meta, np.concatenate(vids), np.concatenate(xss),
+            np.concatenate(yss), meta.c2w_train, meta.img_files_train,
+            "train")
+        stacked = {k: v.reshape((k_steps, n_rays) + v.shape[1:])
+                   for k, v in flat.items()}
         return sample, stacked
 
     def sample_train_stage(self, rng: np.random.Generator, k_steps: int,
