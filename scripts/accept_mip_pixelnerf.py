@@ -29,7 +29,7 @@ def accept_mip():
     from neo360_tpu.config import preset
     from neo360_tpu.data.fixtures import make_micro_scene
 
-    root = make_micro_scene(
+    root = os.environ.get("MIP_ROOT") or make_micro_scene(
         tempfile.mkdtemp(prefix="mip_accept_"), wh=(320, 240))
     steps = int(os.environ.get("MIP_STEPS", "30000"))
     ckpt_dir = tempfile.mkdtemp(prefix="mip_ckpts_")
@@ -55,7 +55,7 @@ def accept_pixelnerf():
     from neo360_tpu.data.fixtures import make_multi_scene_root
 
     n_scenes = int(os.environ.get("PN_SCENES", "3"))
-    root = make_multi_scene_root(
+    root = os.environ.get("PN_ROOT") or make_multi_scene_root(
         tempfile.mkdtemp(prefix="pn_accept_"), n_scenes=n_scenes,
         wh=(320, 240), n_val=3)
     steps = int(os.environ.get("PN_STEPS", "20000"))

@@ -29,11 +29,13 @@ def main():
     n_scenes = int(os.environ.get("NS_SCENES", "2"))
     n_test = int(os.environ.get("NS_VIEWS", "99"))
     wh = (320, 240)
-    print(f"building {n_scenes}-scene fixture with {n_test} test views...",
-          flush=True)
-    root = make_multi_scene_root(
-        tempfile.mkdtemp(prefix="northstar_"), n_scenes=n_scenes, wh=wh,
-        n_val=n_test)
+    root = os.environ.get("NS_ROOT")
+    if not root:
+        print(f"building {n_scenes}-scene fixture with {n_test} test "
+              f"views...", flush=True)
+        root = make_multi_scene_root(
+            tempfile.mkdtemp(prefix="northstar_"), n_scenes=n_scenes, wh=wh,
+            n_val=n_test)
     ckpt_dir = tempfile.mkdtemp(prefix="northstar_ckpts_")
     cfg = preset(
         "neo360_fast", root_dir=root, exp_name="northstar",

@@ -44,9 +44,10 @@ def run_once(label: str, no_cache: bool, root: str, steps: int):
 def main():
     from neo360_tpu.data.fixtures import make_micro_scene
     steps = int(os.environ.get("OPT_STEPS", "512"))
-    root = os.path.dirname(make_micro_scene(
-        os.path.join(tempfile.mkdtemp(prefix="optsp_"), "scene_000"),
-        wh=(320, 240)))
+    root = os.environ.get("OPT_ROOT") or os.path.dirname(
+        make_micro_scene(
+            os.path.join(tempfile.mkdtemp(prefix="optsp_"), "scene_000"),
+            wh=(320, 240)))
     # warm then measured run per mode; compile is shared across step counts
     for label, no_cache in (("cached", False), ("per_step", True)):
         run_once(label + "_warm", no_cache, root, steps=64)

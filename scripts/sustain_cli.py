@@ -30,9 +30,12 @@ def main():
     n_scenes = int(os.environ.get("SUSTAIN_SCENES", "4"))
     steps = int(os.environ.get("SUSTAIN_STEPS", "2048"))
     wh = (320, 240)
-    print(f"building {n_scenes}-scene 320x240 fixture root...", flush=True)
-    root = make_multi_scene_root(
-        tempfile.mkdtemp(prefix="sustain_"), n_scenes=n_scenes, wh=wh)
+    root = os.environ.get("SUSTAIN_ROOT")
+    if not root:
+        print(f"building {n_scenes}-scene 320x240 fixture root...",
+              flush=True)
+        root = make_multi_scene_root(
+            tempfile.mkdtemp(prefix="sustain_"), n_scenes=n_scenes, wh=wh)
     ckpt_dir = tempfile.mkdtemp(prefix="sustain_ckpts_")
 
     cfg = preset(
