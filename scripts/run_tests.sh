@@ -19,7 +19,8 @@ for f in tests/test_*.py; do
   dt=$(( $(date +%s) - t0 ))
   line=$(echo "$out" | grep -E '(passed|failed|error)' | tail -1)
   printf '%-34s %4ss  %s\n' "$f" "$dt" "${line:-exit=$code}"
-  if [ $code -ne 0 ]; then
+  # exit 5 = no tests collected (all deselected by -m) — not a failure
+  if [ $code -ne 0 ] && [ $code -ne 5 ]; then
     fail=1
     echo "$out" | tail -30
   fi
