@@ -91,9 +91,13 @@ def main():
         import tempfile
         from neo360_tpu.data.fixtures import make_multi_scene_root
         from neo360_tpu.data.nerds360_ae import NeRDS360AE
-        root = os.path.join(tempfile.gettempdir(), "neo360_bench_fix_320")
-        if not os.path.isdir(root) or not os.listdir(root):
+        root = os.environ.get(
+            "NEO360_BENCH_FIXROOT",
+            os.path.join(tempfile.gettempdir(), "neo360_bench_fix_320"))
+        marker = os.path.join(root, ".complete")
+        if not os.path.exists(marker):
             make_multi_scene_root(root, n_scenes=1, wh=(320, 240))
+            open(marker, "w").close()
         ds = NeRDS360AE(root, "train", (320, 240), 3, n_rays)
         fix = ds.sample_train(np.random.default_rng(0))
         batch = {k: jnp.asarray(fix[k]) if k in fix else v

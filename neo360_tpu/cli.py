@@ -647,6 +647,8 @@ def run_train(cfg: Config):
         state = tl.create_train_state(variables["params"], optimizer,
                                       variables["batch_stats"])
 
+    state, start_step = _maybe_resume(ckpt, state)
+    start_step = max(start_step, warm_steps)
     # optimize mode (neo360*): the spatial encoder is frozen with BN eval
     # and the source stacks are FIXED per scene (reference
     # neo360/model.py:957-981, nerds360_ae.py:542-556), so its pixel
@@ -654,7 +656,9 @@ def run_train(cfg: Config):
     # ResNet fwd+bwd from every step. The GridEncoder trunk (depth_fc,
     # pillars, floorplan convs) still trains per step, exactly as in the
     # reference. finetune_lpips draws RANDOM source views per sample, so
-    # no caching is possible there.
+    # no caching is possible there. MUST run AFTER _maybe_resume: optimize
+    # runs typically warm-start from a trained checkpoint, and the cache
+    # has to come from the RESTORED encoder params, not the fresh init.
     opt_const = None
     if cfg.is_optimize and cfg.exp_type in ("neo360", "neo360_fast") \
             and os.environ.get("NEO360_OPT_NO_CACHE", "0") != "1":
@@ -663,16 +667,16 @@ def run_train(cfg: Config):
         from neo360_tpu.models.neo360 import NeRFTP
         lat_fn = jax.jit(lambda v, imgs: model.apply(
             v, imgs, False, method=NeRFTP.encode_images))
-        enc_vars = {"params": variables["params"],
-                    "batch_stats": variables["batch_stats"]}
+        enc_vars = {"params": state.params,
+                    "batch_stats": (state.model_state
+                                    if state.model_state is not None
+                                    else variables["batch_stats"])}
         lats = [lat_fn(enc_vars, jnp.asarray(
                     train_ds.optimize_source_stack(s)["src_imgs"]))
                 for s in range(len(train_ds.scene_ids))]
         opt_const = {"pixel_latents": jnp.stack(lats)}
         print(f"optimize mode: cached frozen spatial-encoder latents for "
               f"{len(lats)} scene(s); ResNet fwd+bwd dropped from the step")
-    state, start_step = _maybe_resume(ckpt, state)
-    start_step = max(start_step, warm_steps)
     place_fn = None
     if mesh is not None:
         from neo360_tpu.parallel import sharding as sh

@@ -20,12 +20,16 @@ class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: int = 5,
                  monitor: str = "val_psnr", keep_all: bool = False,
                  primary: bool = None):
-        # Rank-0 save guard for multi-host runs (reference interface.py:199
-        # Lightning rank-zero IO): state here is replicated/device_get'able,
-        # so the primary host writes the full checkpoint and other hosts
-        # no-op (they still restore — the path is on shared storage or each
-        # host's copy of the experiment dir). Sharded-state pods would use
-        # orbax's native multihost path instead.
+        # Save-participation semantics (reference interface.py:199 Lightning
+        # rank-zero IO):
+        #  - single-process runs: `primary=False` makes save() a no-op —
+        #    used by tests and by callers managing their own single writer.
+        #  - REAL multi-process (jax.distributed) runs: EVERY process must
+        #    enter save() on a SHARED directory; orbax coordinates
+        #    internally and the primary host writes. `primary` is ignored
+        #    there — per-host private checkpoint dirs are unsupported in
+        #    multi-process runs (orbax's barriers require symmetric
+        #    participation; see scripts/multihost_smoke.py).
         from neo360_tpu.train.logging import is_primary_process
         self.primary = is_primary_process() if primary is None else primary
         self.monitor = monitor

@@ -36,7 +36,7 @@ def accept_mip():
     cfg = preset(
         "mipnerf360", root_dir=root, exp_name="accept", ckpt_dir=ckpt_dir,
         img_wh=(320, 240), batch_size=2048, run_max_steps=steps,
-        steps_per_call=500, save_every_steps=steps // 3, chunk=4096)
+        steps_per_call=500, save_every_steps=max(1, steps // 3), chunk=4096)
     print(f"mip overfit: {steps} steps, batch 2048, full widths "
           f"(8x1024 nerf + 4x256 prop), 320x240")
     t0 = time.time()
@@ -63,7 +63,7 @@ def accept_pixelnerf():
     cfg = preset(
         "pixelnerf", root_dir=root, exp_name="accept", ckpt_dir=ckpt_dir,
         img_wh=(320, 240), ray_batch_size=512, run_max_steps=steps,
-        steps_per_call=100, save_every_steps=steps // 3, chunk=1024,
+        steps_per_call=100, save_every_steps=max(1, steps // 3), chunk=1024,
         num_src_views=3, bf16=True)
     print(f"pixelnerf few-shot: {steps} steps, 512 rays, {n_scenes} scenes, "
           f"320x240, 3 src views")

@@ -118,7 +118,6 @@ def main():
     def make_vjp_fn():
         @jax.jit
         def f(tbl, uv):
-            loss = jnp.sum(table_sample(tbl, uv, hw, "zeros") ** 2)
             return jax.grad(
                 lambda t: jnp.sum(table_sample(t, uv, hw, "zeros") ** 2)
             )(tbl)

@@ -124,7 +124,7 @@ def parent():
     root = make_multi_scene_root(os.path.join(tmp, "scenes"), n_scenes=4,
                                  n_train=101, n_val=1, wh=(32, 24))
     port = 29876
-    procs, outs = [], []
+    procs, logs = [], []
     for rank in range(2):
         env = dict(os.environ, MH_RANK=str(rank), MH_PORT=str(port),
                    MH_ROOT=root, MH_EXP=os.path.join(tmp, f"exp_r{rank}"),
@@ -132,18 +132,26 @@ def parent():
                    JAX_PLATFORMS="cpu")
         env.pop("PALLAS_AXON_POOL_IPS", None)   # never claim the TPU grant
         env.pop("XLA_FLAGS", None)              # exactly 1 device per proc
+        # children write to FILES, not pipes: with pipes the parent would
+        # read rank 0 first, and a rank-1 pipe fill (>64 KB of warnings)
+        # would stall rank 1 mid-collective and deadlock both ranks
+        logs.append(open(os.path.join(tmp, f"rank{rank}.log"), "w+b"))
         procs.append(subprocess.Popen(
             [sys.executable, "-u", os.path.abspath(__file__)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            stdout=logs[rank], stderr=subprocess.STDOUT, env=env,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
     deadline = time.time() + 1200
+    outs = []
     for rank, p in enumerate(procs):
         try:
-            out, _ = p.communicate(timeout=max(10, deadline - time.time()))
+            p.wait(timeout=max(10, deadline - time.time()))
         except subprocess.TimeoutExpired:
             p.kill()
-            out, _ = p.communicate()
-        outs.append(out.decode())
+            p.wait()
+        logs[rank].flush()
+        logs[rank].seek(0)
+        outs.append(logs[rank].read().decode())
+        logs[rank].close()
         print(f"----- rank {rank} (rc={p.returncode}) -----")
         print("\n".join(l for l in outs[rank].splitlines()
                         if not l.startswith("WARNING")))

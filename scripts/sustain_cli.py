@@ -74,7 +74,12 @@ def main():
     t0 = time.time()
     cli.run_train(cfg2)
     dt2 = time.time() - t0
-    sustained = (rays - steps // 2 * cfg.ray_batch_size) / max(dt - dt2, 1e-9)
+    if dt - dt2 <= 1.0:
+        print(f"half-run wall clock {dt2:.1f}s — difference method INVALID "
+              f"(dt-dt2={dt - dt2:.1f}s; contention or cache miss between "
+              f"runs); rerun before recording", flush=True)
+        return
+    sustained = (rays - steps // 2 * cfg.ray_batch_size) / (dt - dt2)
     print(f"half-run wall clock {dt2:.1f}s -> sustained "
           f"(difference method): {sustained:,.0f} rays/s over "
           f"{steps - steps // 2} steps", flush=True)
