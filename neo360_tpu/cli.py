@@ -496,6 +496,29 @@ def _maybe_resume(ckpt, state):
     return restored, int(latest)
 
 
+def _optimize_latents(model, state, variables, train_ds):
+    """Optimize-mode frozen-prefix cache: per-scene SpatialEncoder pixel
+    latents from the CURRENT (post-resume) train state — optimize runs
+    warm-start from trained checkpoints, and a cache built from fresh-init
+    params would silently condition every step on wrong latents. Returns
+    the staged trainer's const dict {"pixel_latents": (S, NV, h, w, C)}."""
+    import jax
+    import jax.numpy as jnp
+    from neo360_tpu.models.neo360 import NeRFTP
+    lat_fn = jax.jit(lambda v, imgs: model.apply(
+        v, imgs, False, method=NeRFTP.encode_images))
+    enc_vars = {"params": state.params,
+                "batch_stats": (state.model_state
+                                if state.model_state is not None
+                                else variables["batch_stats"])}
+    lats = [lat_fn(enc_vars, jnp.asarray(
+                train_ds.optimize_source_stack(s)["src_imgs"]))
+            for s in range(len(train_ds.scene_ids))]
+    print(f"optimize mode: cached frozen spatial-encoder latents for "
+          f"{len(lats)} scene(s); ResNet fwd+bwd dropped from the step")
+    return {"pixel_latents": jnp.stack(lats)}
+
+
 def run_train(cfg: Config):
     import jax
     import jax.numpy as jnp
@@ -664,19 +687,7 @@ def run_train(cfg: Config):
             and os.environ.get("NEO360_OPT_NO_CACHE", "0") != "1":
         # NEO360_OPT_NO_CACHE=1 restores per-step encoding (A/B lever for
         # scripts/optimize_speedup.py; numerically identical either way)
-        from neo360_tpu.models.neo360 import NeRFTP
-        lat_fn = jax.jit(lambda v, imgs: model.apply(
-            v, imgs, False, method=NeRFTP.encode_images))
-        enc_vars = {"params": state.params,
-                    "batch_stats": (state.model_state
-                                    if state.model_state is not None
-                                    else variables["batch_stats"])}
-        lats = [lat_fn(enc_vars, jnp.asarray(
-                    train_ds.optimize_source_stack(s)["src_imgs"]))
-                for s in range(len(train_ds.scene_ids))]
-        opt_const = {"pixel_latents": jnp.stack(lats)}
-        print(f"optimize mode: cached frozen spatial-encoder latents for "
-              f"{len(lats)} scene(s); ResNet fwd+bwd dropped from the step")
+        opt_const = _optimize_latents(model, state, variables, train_ds)
     place_fn = None
     if mesh is not None:
         from neo360_tpu.parallel import sharding as sh

@@ -499,3 +499,46 @@ def test_num_src_views_from_render_name(tmp_path):
     cfg = cli.parse_args(base + ["--render_name", "5views",
                                  "--num_src_views", "3"])
     assert cfg.num_src_views == 3
+
+
+def test_optimize_latents_use_restored_params(multi_scene_root):
+    """Regression (round-4 self-review): the optimize latent cache must be
+    built from the RESTORED train state, not the fresh init — optimize runs
+    warm-start from trained checkpoints."""
+    import jax
+    import jax.numpy as jnp
+    from neo360_tpu.data.nerds360_ae import NeRDS360AE
+    from neo360_tpu.models.neo360 import NeRFTP
+    from neo360_tpu.train import loop as tl
+
+    ds = NeRDS360AE(multi_scene_root, "train", (40, 30), 3, 8,
+                    optimize=True)
+    model = NeRFTP(num_coarse_samples=4, num_fine_samples=4,
+                   grid_size=(8, 8, 8), remat_encoder=False)
+    src = ds.optimize_source_stack(0)
+    rng = np.random.default_rng(0)
+    sample = {k: jnp.asarray(v) for k, v in ds.sample_train(rng).items()}
+    rays = {k: sample[k] for k in
+            ("rays_o", "rays_d", "viewdirs", "src_imgs", "src_poses",
+             "src_focal", "src_c")}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        rays, True, False)
+    # "restored" params: perturbed copy standing in for a trained checkpoint
+    restored = jax.tree_util.tree_map(lambda x: x * 1.5,
+                                      variables["params"])
+    state = tl.TrainState(step=jnp.asarray(10), params=restored,
+                          opt_state=None,
+                          model_state=variables["batch_stats"])
+    const = cli._optimize_latents(model, state, variables, ds)
+    expect = model.apply({"params": restored,
+                          "batch_stats": variables["batch_stats"]},
+                         jnp.asarray(src["src_imgs"]),
+                         method=NeRFTP.encode_images)
+    np.testing.assert_array_equal(
+        np.asarray(const["pixel_latents"][0]), np.asarray(expect))
+    # and it must NOT equal the fresh-init latents (the round-4 bug)
+    fresh = model.apply(variables, jnp.asarray(src["src_imgs"]),
+                        method=NeRFTP.encode_images)
+    assert not np.allclose(np.asarray(const["pixel_latents"][0]),
+                           np.asarray(fresh))
