@@ -837,7 +837,13 @@ def run_eval(cfg: Config):
                              cfg.num_src_views)
         import jax.numpy as jnp
         rng = np.random.default_rng(0)
-        example = {k: jnp.asarray(v)
+        # init on a FEW rays, not the full image: sample_test returns one
+        # ray per pixel, and a W*H-ray init forward OOMs HBM at production
+        # resolution (320x240 measured 26.8 G of conditioned-point gathers
+        # on v5e); per-view src_* entries stay whole for encoder init
+        ray_like = ("rays_o", "rays_d", "viewdirs", "radii", "target",
+                    "nocs_2d", "instance_mask")
+        example = {k: jnp.asarray(v[:4] if k in ray_like else v)
                    for k, v in test_ds.sample_test(0, 0).items()
                    if k != "img_wh"}
         variables = _init_variables(cfg, model, example)

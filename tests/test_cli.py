@@ -368,6 +368,46 @@ def test_run_eval_heterogeneous_test_splits(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_run_eval_init_uses_few_rays(tmp_path, monkeypatch):
+    """run_eval must init the model on a FEW rays, never the full test
+    image: a W*H-ray init forward measured 26.8 G of conditioned-point
+    gather arguments at 320x240 on v5e (HBM OOM). Fixture images are small
+    enough to hide the bug, so assert on the example shape directly."""
+    from neo360_tpu.data.fixtures import make_micro_scene
+    from neo360_tpu.models.neo360 import NeRFTP
+    import neo360_tpu.train.eval as ev
+
+    root = str(tmp_path / "scenes")
+    make_micro_scene(os.path.join(root, "scene_a"), n_val=2, wh=(16, 12),
+                     seed=102)
+
+    def tiny_build(cfg):
+        return NeRFTP(num_coarse_samples=4, num_fine_samples=4,
+                      grid_size=(8, 8, 8), remat_encoder=False,
+                      num_src_views=cfg.num_src_views)
+
+    monkeypatch.setattr(cli, "build_model", tiny_build)
+    seen = {}
+    real_init = cli._init_variables
+
+    def spying(cfg, model, example):
+        seen.update({k: v.shape for k, v in example.items()})
+        return real_init(cfg, model, example)
+
+    monkeypatch.setattr(cli, "_init_variables", spying)
+    monkeypatch.setattr(ev, "evaluate_and_save",
+                        lambda *a, **kw: {"psnr": 0.0})
+    cfg = preset("neo360", root_dir=root, img_wh=(16, 12),
+                 eval_mode="full_eval", exp_name="fr",
+                 ckpt_dir=str(tmp_path / "ck"))
+    cli.run_eval(cfg)
+    for k in ("rays_o", "rays_d", "viewdirs", "target"):
+        assert seen[k][0] <= 4, f"{k} initialized with {seen[k][0]} rays"
+    # per-view source entries stay whole (encoder init needs real images)
+    assert seen["src_imgs"][0] == cfg.num_src_views
+
+
+@pytest.mark.slow
 def test_render_fn_built_once_per_train(multi_scene_root, tmp_path,
                                         monkeypatch):
     """One renderer construction (= one compile) per run_train even across
