@@ -867,10 +867,16 @@ def run_eval(cfg: Config):
         # torch .eval() protocol); "batch" measures +1.3-3.8 dB on fixtures
         print(f"eval encode BN mode: {cfg.eval_bn_mode}")
     out_dir = os.path.join(exp_dir, cfg.render_name)
-    summary = ev.evaluate_and_save(
-        render_fn, samples, cfg.img_wh, out_dir, lpips_model,
-        results_json=os.path.join(exp_dir, "results.json"),
-        video=(cfg.eval_mode == "vis_only"))
+    # host-side sample prefetch: per-view ray-gen + target decode run on a
+    # worker thread, overlapping the previous view's device render
+    # (place_fn=identity — arrays go to device inside render_fn)
+    from neo360_tpu.train.pipeline import prefetch_to_device
+    samples = prefetch_to_device(samples, size=2, place_fn=lambda x: x)
+    with samples:
+        summary = ev.evaluate_and_save(
+            render_fn, samples, cfg.img_wh, out_dir, lpips_model,
+            results_json=os.path.join(exp_dir, "results.json"),
+            video=(cfg.eval_mode == "vis_only"))
     if cfg.eval_mode == "vis_only":
         path = _render_trajectory(cfg, render_fn, test_ds, out_dir)
         print("wrote 360 flythrough:", path)

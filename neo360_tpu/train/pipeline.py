@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterator
+from typing import Iterator, Optional
 
 import jax
 import numpy as np
@@ -37,6 +37,7 @@ class _Prefetcher:
     def __init__(self, iterator: Iterator, size: int, place_fn=None):
         self._q: "queue.Queue" = queue.Queue(maxsize=size)
         self._stop = threading.Event()
+        self._exc: Optional[BaseException] = None
         self._place = place_fn or jax.device_put
         self._thread = threading.Thread(
             target=self._produce, args=(iterator,), daemon=True)
@@ -54,6 +55,11 @@ class _Prefetcher:
                         continue
                 if self._stop.is_set():
                     return
+        except BaseException as e:
+            # surface producer failures to the consumer: swallowing them
+            # silently ENDS the stream (a crashed sampler would truncate a
+            # training run / eval sweep with no error)
+            self._exc = e
         finally:
             try:
                 self._q.put_nowait(self._SENTINEL)
@@ -68,6 +74,8 @@ class _Prefetcher:
             raise StopIteration
         item = self._q.get()
         if item is self._SENTINEL:
+            if self._exc is not None:
+                raise self._exc
             raise StopIteration
         return item
 

@@ -103,3 +103,20 @@ def test_prefetch_pipeline(ds):
     assert len(items) == 3
     import jax
     assert isinstance(items[0]["rays_o"], jax.Array)
+
+
+def test_prefetch_propagates_producer_error():
+    """A crashed producer must raise at the consumer, not silently end the
+    stream (silent StopIteration would truncate a training run or eval
+    sweep with no error)."""
+    from neo360_tpu.train.pipeline import prefetch_to_device
+
+    def boom():
+        yield {"ok": 1}
+        raise RuntimeError("sampler died")
+
+    it = prefetch_to_device(boom(), size=2, place_fn=lambda x: x)
+    assert next(it)["ok"] == 1
+    with pytest.raises(RuntimeError, match="sampler died"):
+        for _ in it:
+            pass
