@@ -612,6 +612,7 @@ def run_train(cfg: Config):
                for k, v in train_ds.sample_train(rng).items()}
     variables = _init_variables(cfg, model, example)
     variables = _maybe_load_resnet(cfg, variables)
+    variables = _maybe_warm_start(cfg, variables)
     optimizer = build_optimizer(cfg, variables["params"])
     loss_fn = make_loss_fn(cfg, model, variables, lpips_model)
     stage_size = max(1, min(cfg.steps_per_call, cfg.save_every_steps,
@@ -873,10 +874,16 @@ def run_eval(cfg: Config):
     from neo360_tpu.train.pipeline import prefetch_to_device
     samples = prefetch_to_device(samples, size=2, place_fn=lambda x: x)
     with samples:
+        extra = {}
+        if cfg.exp_type in ("pixelnerf", "neo360", "neo360_fast"):
+            # stamp the BN protocol into the artifact: "running" is the
+            # reference's torch .eval() protocol; "batch" (default) measures
+            # +1.3-3.8 dB on fixtures and is NOT reference-comparable
+            extra["eval_bn_mode"] = cfg.eval_bn_mode
         summary = ev.evaluate_and_save(
             render_fn, samples, cfg.img_wh, out_dir, lpips_model,
             results_json=os.path.join(exp_dir, "results.json"),
-            video=(cfg.eval_mode == "vis_only"))
+            video=(cfg.eval_mode == "vis_only"), extra=extra)
     if cfg.eval_mode == "vis_only":
         path = _render_trajectory(cfg, render_fn, test_ds, out_dir)
         print("wrote 360 flythrough:", path)
@@ -905,6 +912,34 @@ def _render_trajectory(cfg: Config, render_fn, test_ds, out_dir: str,
     frames = [np.asarray(render_fn(s)["rgb"], np.float32).reshape(h, w, 3)
               for s in samples]
     return io.store_video(out_dir, frames, name="video360.mp4")
+
+
+def _maybe_warm_start(cfg: Config, variables):
+    """Weights-only warm start for run_train from ANOTHER run's checkpoint
+    (reference finetune resume, run.py:84-102, and --weight_path semantics,
+    opt.py:230-242): when --ckpt_path points at an orbax dir, splice its
+    params/batch_stats into the fresh init — from EITHER trainer layout
+    (the LPIPS finetune stage warm-starts from a STAGE-trained stage-1
+    checkpoint this way; optimizer state and step start fresh, matching the
+    reference's pinned-lr stage-2 protocol)."""
+    if not cfg.ckpt_path:
+        return variables
+    from neo360_tpu.train.checkpoints import CheckpointManager
+    raw = CheckpointManager(cfg.ckpt_path).restore_raw()
+    if raw is None:
+        raise FileNotFoundError(
+            f"--ckpt_path {cfg.ckpt_path}: no checkpoint found for "
+            f"warm start")
+    if "enc_params" in raw:         # scene-stage trainer layout
+        params = {**raw["enc_params"], **raw["ray_params"]}
+    else:
+        params = raw["params"]
+    out = dict(variables, params=params)
+    if raw.get("model_state") is not None:
+        out["batch_stats"] = raw["model_state"]
+    print(f"warm-started params/batch_stats from {cfg.ckpt_path} "
+          f"(step {int(raw['step'])})")
+    return out
 
 
 def _restore(cfg: Config, exp_dir: str, variables, optimizer):

@@ -99,7 +99,9 @@ def _psnr_ssim(pred, target):
 
 def evaluate_and_save(render_fn, samples, img_wh, out_dir: str,
                       lpips_model=None, results_json: Optional[str] = None,
-                      video: bool = False) -> Dict[str, float]:
+                      video: bool = False,
+                      extra: Optional[Dict[str, str]] = None
+                      ) -> Dict[str, float]:
     """Streaming evaluate_images + save_eval_artifacts: every rendered view
     is written to disk as soon as it is produced, so memory stays O(1) in
     the number of views (the reference protocol is 75 scenes x 99 views x
@@ -146,35 +148,45 @@ def evaluate_and_save(render_fn, samples, img_wh, out_dir: str,
 
     wt = threading.Thread(target=_writer, daemon=True)
     wt.start()
-    for i, sample in enumerate(samples):
-        out = render_fn(sample)
-        pred_dev = jnp.reshape(out["rgb"], (h, w, 3))
-        target = np.asarray(sample["target"], np.float32).reshape(h, w, 3)
-        p_dev, s_dev = metrics_fn(pred_dev, jnp.asarray(target))
-        rgb = np.asarray(pred_dev, np.float32)
-        wq.put(("jpg", os.path.join(out_dir, f"image{i:03d}.jpg"),
-                io.to8b(rgb)))
-        if "depth" in out:
-            depth = np.asarray(out["depth"], np.float32).reshape(h, w)
-            path = os.path.join(out_dir, f"depth_raw{i:03d}.npz")
-            wq.put(("npz", path, depth))
-            depth_files.append(path)
-            depth_max = max(depth_max, float(np.nanmax(depth)))
-        vals["psnr"].append(float(p_dev))
-        vals["ssim"].append(float(s_dev))
-        if lpips_model is not None and lpips_model.pretrained:
-            vals["lpips"].append(float(lpips_model(
-                jnp.asarray(rgb)[None], jnp.asarray(target)[None])[0]))
-        if "instance_mask" in sample:
-            mask = np.asarray(sample["instance_mask"]).reshape(h, w) > 0
-            op = object_psnr(rgb, target, mask)
-            if op is not None:
-                vals["psnr_obj"].append(op)
-        if frames is not None:
-            frames.append(io.to8b(rgb))
-    wq.join()
-    wq.put(None)
-    wt.join()
+    try:
+        for i, sample in enumerate(samples):
+            if werr:
+                # fail fast on writer errors (e.g. disk full on view 1)
+                # instead of rendering all remaining views first
+                raise werr[0]
+            out = render_fn(sample)
+            pred_dev = jnp.reshape(out["rgb"], (h, w, 3))
+            target = np.asarray(sample["target"],
+                                np.float32).reshape(h, w, 3)
+            p_dev, s_dev = metrics_fn(pred_dev, jnp.asarray(target))
+            rgb = np.asarray(pred_dev, np.float32)
+            wq.put(("jpg", os.path.join(out_dir, f"image{i:03d}.jpg"),
+                    io.to8b(rgb)))
+            if "depth" in out:
+                depth = np.asarray(out["depth"], np.float32).reshape(h, w)
+                path = os.path.join(out_dir, f"depth_raw{i:03d}.npz")
+                wq.put(("npz", path, depth))
+                depth_files.append(path)
+                depth_max = max(depth_max, float(np.nanmax(depth)))
+            vals["psnr"].append(float(p_dev))
+            vals["ssim"].append(float(s_dev))
+            if lpips_model is not None and lpips_model.pretrained:
+                vals["lpips"].append(float(lpips_model(
+                    jnp.asarray(rgb)[None], jnp.asarray(target)[None])[0]))
+            if "instance_mask" in sample:
+                mask = np.asarray(sample["instance_mask"]).reshape(h, w) > 0
+                op = object_psnr(rgb, target, mask)
+                if op is not None:
+                    vals["psnr_obj"].append(op)
+            if frames is not None:
+                frames.append(io.to8b(rgb))
+    finally:
+        # drain + join the writer even when render/metrics raise mid-loop:
+        # an abandoned daemon writer can be killed mid-write at interpreter
+        # exit, leaving truncated jpg/npz artifacts on disk
+        wq.join()
+        wq.put(None)
+        wt.join()
     if werr:
         raise werr[0]
     if depth_files:
@@ -193,6 +205,10 @@ def evaluate_and_save(render_fn, samples, img_wh, out_dir: str,
         if lpips_model is None or not lpips_model.pretrained:
             # explicit marker instead of a silently-absent metric
             payload["lpips_status"] = "skipped: no pretrained weights"
+        if extra:
+            # self-describing artifacts: e.g. which eval_bn_mode produced
+            # these numbers (reference comparisons require "running")
+            payload.update(extra)
         io.write_stats(results_json, **payload)
     return summary
 

@@ -61,10 +61,17 @@ class _Prefetcher:
             # training run / eval sweep with no error)
             self._exc = e
         finally:
-            try:
-                self._q.put_nowait(self._SENTINEL)
-            except queue.Full:
-                pass
+            # the sentinel must be delivered even when the queue is full at
+            # exhaustion (slow consumer, e.g. run_eval rendering each view):
+            # a dropped sentinel leaves the consumer blocked in q.get()
+            # forever after the last item. Same stop-aware blocking put as
+            # the item path above.
+            while not self._stop.is_set():
+                try:
+                    self._q.put(self._SENTINEL, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
 
     def __iter__(self):
         return self
@@ -74,6 +81,9 @@ class _Prefetcher:
             raise StopIteration
         item = self._q.get()
         if item is self._SENTINEL:
+            # terminate repeated iteration deterministically: without this,
+            # a second __next__ after the sentinel blocks on the empty queue
+            self._stop.set()
             if self._exc is not None:
                 raise self._exc
             raise StopIteration

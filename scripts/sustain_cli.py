@@ -106,7 +106,13 @@ def main():
         ts = np.array([r["time"] for r in rows])
         st = np.array([r["step"] for r in rows])
         if len(ts) > 2:
-            per_all.extend((np.diff(ts) / np.diff(st)).tolist())
+            dts, dst = np.diff(ts), np.diff(st)
+            keep = dst > 0  # drop duplicate-step rows (e.g. a val_psnr
+            per_all.extend((dts[keep] / dst[keep]).tolist())
+    if not per_all:
+        raise SystemExit("sustain_cli: no usable step intervals in "
+                         "metrics.jsonl (run too short or failed) — "
+                         "refusing to print a NaN rate")
     per = float(np.median(per_all))
     print(f"SUSTAINED cli.run_train (steady-state, per-dispatch "
           f"timestamps over {len(per_all)} intervals): "

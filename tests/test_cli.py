@@ -247,6 +247,47 @@ def test_eval_restores_scene_stage_checkpoint(tmp_path):
     assert state.model_state is not None
 
 
+def test_warm_start_from_scene_stage_checkpoint(tmp_path):
+    """run_train's weights-only warm start (--ckpt_path, reference
+    run.py:84-102 finetune resume): params/batch_stats come from another
+    run's checkpoint — in EITHER trainer layout — while step and optimizer
+    state start fresh (the stage-2 pinned-lr protocol)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from neo360_tpu.train import loop as tl
+    from neo360_tpu.train.checkpoints import CheckpointManager
+
+    params = {"encoder": {"w": jnp.ones(2)},
+              "local_proj_fine": {"k": jnp.full(2, 2.0)},
+              "fine_mlp": {"b": jnp.full(3, 3.0)}}
+    opt = optax.adam(1e-3)
+    sstate = tl.create_scene_stage_state(params, opt, opt,
+                                         model_state={"bn": jnp.full(1, 5.0)})
+    sstate = sstate.replace(step=jnp.asarray(1408, jnp.int32))
+    orbax_dir = str(tmp_path / "stage1" / "orbax")
+    mgr = CheckpointManager(orbax_dir)
+    mgr.save(1408, jax.device_get(sstate), {"val_psnr": 1.0})
+    mgr.wait()
+    mgr.close()
+
+    fresh = {"params": jax.tree.map(jnp.zeros_like, params),
+             "batch_stats": {"bn": jnp.zeros(1)}}
+    cfg = preset("neo360", finetune_lpips=True, ckpt_path=orbax_dir)
+    out = cli._maybe_warm_start(cfg, fresh)
+    np.testing.assert_allclose(np.asarray(out["params"]["fine_mlp"]["b"]),
+                               3.0)
+    np.testing.assert_allclose(np.asarray(out["params"]["encoder"]["w"]),
+                               1.0)
+    np.testing.assert_allclose(np.asarray(out["batch_stats"]["bn"]), 5.0)
+    # no ckpt_path -> identity; missing ckpt -> loud failure, not silent
+    # fresh-init training
+    assert cli._maybe_warm_start(cfg.replace(ckpt_path=None), fresh) is fresh
+    with pytest.raises(FileNotFoundError):
+        cli._maybe_warm_start(
+            cfg.replace(ckpt_path=str(tmp_path / "nope")), fresh)
+
+
 def test_io_outputs(tmp_path):
     from neo360_tpu.utils import io
     rgbs = [np.random.default_rng(i).uniform(size=(8, 10, 3))

@@ -120,3 +120,43 @@ def test_prefetch_propagates_producer_error():
     with pytest.raises(RuntimeError, match="sampler died"):
         for _ in it:
             pass
+
+
+def test_prefetch_slow_consumer_terminates():
+    """Sentinel delivery with a FULL queue at producer exhaustion: a finite
+    stream consumed slower than it is produced (run_eval's shape — each view
+    renders for seconds) must still terminate instead of blocking forever in
+    q.get() after the last item (round-4 advisor high)."""
+    import time
+    from neo360_tpu.train.pipeline import prefetch_to_device
+
+    it = prefetch_to_device(iter(range(5)), size=1, place_fn=lambda x: x)
+    time.sleep(0.5)  # producer exhausts the iterator while queue is full
+    got = []
+    for x in it:
+        time.sleep(0.05)  # slow consumer
+        got.append(x)
+    assert got == [0, 1, 2, 3, 4]
+    # repeated iteration after exhaustion terminates deterministically
+    with pytest.raises(StopIteration):
+        next(it)
+    with pytest.raises(StopIteration):
+        next(it)
+
+
+def test_prefetch_error_with_full_queue():
+    """Producer raises while the queue is full: the stored exception must
+    still reach the consumer (round-4 advisor medium)."""
+    import time
+    from neo360_tpu.train.pipeline import prefetch_to_device
+
+    def boom():
+        yield 1
+        yield 2
+        raise RuntimeError("late sampler death")
+
+    it = prefetch_to_device(boom(), size=1, place_fn=lambda x: x)
+    time.sleep(0.5)  # queue full (1 slot) when the producer raises
+    with pytest.raises(RuntimeError, match="late sampler death"):
+        for _ in it:
+            time.sleep(0.05)
