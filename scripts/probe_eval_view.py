@@ -1,15 +1,19 @@
-"""Attribute the per-view cost of the production eval loop (round 4).
+"""Attribute the per-view cost of the production eval loop (round 4/5).
 
-The 99-view full_eval sustains ~3.5 s/view while bench.py's render phase
+The 99-view full_eval sustained ~3.5 s/view while bench.py's render phase
 reports 1.22 s/image at the same model config — this probe splits one
 eval view into its phases on the real TPU:
 
   a) render dispatch+fetch with DEVICE-resident rays (pure device+fetch)
   b) same with per-view numpy ray upload (the run_eval situation)
+  b2) b plus the depth fetch (the full run_eval fetch pattern)
   c) fused psnr+ssim metric dispatch + scalar fetches
   d) host artifact encode (to8b + JPEG + npz, no thread)
+  e) eager per-view scene encode (what pre-round-5 run_eval paid every
+     view; now paid once per scene via the scene_key pack cache)
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/probe_eval_view.py
+(PROBE_ROOT defaults to the accept_neo360 fixture root; built if absent.)
 """
 
 import os
@@ -26,13 +30,19 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from neo360_tpu.data.fixtures import make_multi_scene_root
     from neo360_tpu.data.nerds360_ae import NeRDS360AE
     from neo360_tpu.models.neo360 import NeRFTP
     from neo360_tpu.train import loop as tl
     from neo360_tpu.train import metrics as M
     from neo360_tpu.utils.io import to8b
 
-    root = os.environ.get("PROBE_ROOT", "/tmp/northstar_ng2f0gk4")
+    root = os.environ.get(
+        "PROBE_ROOT",
+        os.path.join(os.environ.get("ACCEPT_STATE", "/tmp/accept_state"),
+                     "neo_root"))
+    if not os.path.isdir(root) or not os.listdir(root):
+        make_multi_scene_root(root, n_scenes=4, wh=(320, 240))
     ds = NeRDS360AE(root, "test", (320, 240), 3)
     w, h = 320, 240
     model = NeRFTP(compute_dtype=jnp.bfloat16, use_proposal=True,
@@ -43,16 +53,23 @@ def main():
                for k in ("rays_o", "rays_d", "viewdirs")}
     src = {k: jnp.asarray(sample[k]) for k in
            ("src_imgs", "src_poses", "src_focal", "src_c")}
+    # init on a FEW rays: a full 76,800-ray init forward OOMs HBM (the
+    # round-4 run_eval production bug, cli.py run_eval few-shot branch)
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
-        dict(rays_np, **{k: np.asarray(v) for k, v in src.items()}),
+        dict({k: v[:4] for k, v in rays_np.items()},
+             **{k: np.asarray(v) for k, v in src.items()}),
         True, False, train=False)
     print("init done", flush=True)
     vars_f = {"params": variables["params"],
               "batch_stats": variables["batch_stats"]}
-    encoded = model.apply(vars_f, src["src_imgs"], src["src_poses"],
-                          src["src_focal"], src["src_c"],
-                          method=NeRFTP.encode)
+
+    def encode():
+        return model.apply(vars_f, src["src_imgs"], src["src_poses"],
+                           src["src_focal"], src["src_c"],
+                           method=NeRFTP.encode)
+
+    encoded = encode()
 
     def render_chunk(pack, rays):
         rays = dict(rays, **pack["src"])
@@ -107,6 +124,13 @@ def main():
             os.path.join(tmp, "x.jpg"))
         np.savez_compressed(os.path.join(tmp, "x.npz"), depth=depth)
     td = timeit(_d)
+    # e) eager scene encode (sync via a 1-element scalar fetch: the fetch
+    # itself costs one ~tens-of-ms dispatch, small vs the eager op stream)
+    def _e():
+        enc = encode()
+        float(jnp.sum(jax.tree_util.tree_leaves(enc)[0][:1, :1]))
+    _e()  # warm any convert paths
+    te = timeit(_e)
 
     print(f"a) render+fetch, device rays : {ta:6.2f} s/view")
     print(f"b) render+fetch, numpy rays  : {tb:6.2f} s/view "
@@ -115,7 +139,10 @@ def main():
           f"(depth fetch {tb2 - tb:+.2f})")
     print(f"c) fused metrics + 2 scalars : {tc:6.2f} s/view")
     print(f"d) host jpg+npz encode       : {td:6.2f} s/view")
-    print(f"sum(b2+c+d) = {tb2 + tc + td:.2f} s/view vs measured 3.53")
+    print(f"e) eager scene encode        : {te:6.2f} s/view "
+          f"(pre-round-5: every view; now once per scene)")
+    print(f"sum(b2+c+d) = {tb2 + tc + td:.2f} s/view cached-encode; "
+          f"+e = {tb2 + tc + td + te:.2f} legacy vs measured 3.53")
 
 
 if __name__ == "__main__":

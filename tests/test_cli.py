@@ -481,6 +481,84 @@ def test_render_fn_built_once_per_train(multi_scene_root, tmp_path,
     assert len(calls) == 1, f"renderer rebuilt {len(calls)} times"
 
 
+def test_scene_pack_cache_unit():
+    """_scene_pack_cache: one build per scene_key run, one scene resident,
+    keyless samples always rebuild."""
+    built = []
+
+    def build(variables, sample):
+        built.append(sample.get("scene_key"))
+        return {"n": len(built)}
+
+    get = cli._scene_pack_cache(build)
+    v = {}
+    assert get(v, {"scene_key": 0})["n"] == 1
+    assert get(v, {"scene_key": 0})["n"] == 1      # cached
+    assert get(v, {"scene_key": 1})["n"] == 2      # new scene rebuilds
+    assert get(v, {"scene_key": 0})["n"] == 3      # only one scene resident
+    get(v, {})
+    get(v, {})                                     # keyless: always build
+    assert len(built) == 5
+
+
+@pytest.mark.slow
+def test_render_fn_scene_cache_encodes_once(tmp_path, monkeypatch):
+    """scene_cache=True encodes a scene ONCE for all of its views (the
+    per-view eager re-encode measured ~2 s/view through the axon relay —
+    the dominant term of the round-4 eval gap), re-encodes on scene change,
+    and is bitwise-identical to the uncached path."""
+    import jax
+
+    from neo360_tpu.data.fixtures import make_micro_scene
+    from neo360_tpu.data.nerds360_ae import NeRDS360AE
+    from neo360_tpu.models import neo360 as neo_mod
+
+    root = str(tmp_path / "scenes")
+    make_micro_scene(os.path.join(root, "scene_a"), n_val=2, wh=(16, 12),
+                     seed=110)
+    make_micro_scene(os.path.join(root, "scene_b"), n_val=2, wh=(16, 12),
+                     seed=111)
+    model = neo_mod.NeRFTP(num_coarse_samples=4, num_fine_samples=4,
+                           grid_size=(8, 8, 8), remat_encoder=False,
+                           num_src_views=3)
+    ds = NeRDS360AE(root, "test", (16, 12), 3)
+    s0a = dict(ds.sample_test(0, 0), scene_key=0)
+    s0b = dict(ds.sample_test(0, 1), scene_key=0)
+    s1 = dict(ds.sample_test(1, 0), scene_key=1)
+    ray_like = ("rays_o", "rays_d", "viewdirs", "radii", "target",
+                "nocs_2d", "instance_mask")
+    example = {k: (np.asarray(v)[:4] if k in ray_like else np.asarray(v))
+               for k, v in s0a.items() if k not in ("img_wh", "scene_key")}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        example, True, False, train=False)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+
+    calls = []
+    real_enc = neo_mod.NeRFTP.encode
+
+    def counting(self, *a, **kw):
+        calls.append(1)
+        return real_enc(self, *a, **kw)
+
+    monkeypatch.setattr(neo_mod.NeRFTP, "encode", counting)
+    cfg = preset("neo360", root_dir=root, img_wh=(16, 12), chunk=96)
+    rf_cached = cli.make_render_fn(cfg, model, scene_cache=True)
+    rf_plain = cli.make_render_fn(cfg, model)
+
+    rf_cached(variables, s0a)
+    n_first = len(calls)
+    assert n_first >= 1
+    out_b = rf_cached(variables, s0b)
+    assert len(calls) == n_first, "same scene_key must not re-encode"
+    rf_cached(variables, s1)
+    assert len(calls) > n_first, "new scene_key must re-encode"
+    out_plain = rf_plain(variables, s0b)
+    np.testing.assert_array_equal(np.asarray(out_b["rgb"]),
+                                  np.asarray(out_plain["rgb"]))
+
+
 def test_build_optimizer_freeze_needs_params():
     cfg = preset("neo360", is_optimize=True)
     with pytest.raises(ValueError):
