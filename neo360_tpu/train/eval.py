@@ -148,7 +148,41 @@ def evaluate_and_save(render_fn, samples, img_wh, out_dir: str,
 
     wt = threading.Thread(target=_writer, daemon=True)
     wt.start()
+
+    def _finish(item):
+        """Fetch + host-side work for a view whose device work (render,
+        metrics, lpips) was already dispatched."""
+        nonlocal depth_max
+        i, sample, out, pred_dev, target, p_dev, s_dev, lp_dev = item
+        rgb = np.asarray(pred_dev, np.float32)
+        wq.put(("jpg", os.path.join(out_dir, f"image{i:03d}.jpg"),
+                io.to8b(rgb)))
+        if "depth" in out:
+            depth = np.asarray(out["depth"], np.float32).reshape(h, w)
+            path = os.path.join(out_dir, f"depth_raw{i:03d}.npz")
+            wq.put(("npz", path, depth))
+            depth_files.append(path)
+            depth_max = max(depth_max, float(np.nanmax(depth)))
+        vals["psnr"].append(float(p_dev))
+        vals["ssim"].append(float(s_dev))
+        if lp_dev is not None:
+            vals["lpips"].append(float(lp_dev))
+        if "instance_mask" in sample:
+            mask = np.asarray(sample["instance_mask"]).reshape(h, w) > 0
+            op = object_psnr(rgb, target, mask)
+            if op is not None:
+                vals["psnr_obj"].append(op)
+        if frames is not None:
+            frames.append(io.to8b(rgb))
+
     try:
+        # one-view software pipeline: view i's device work (render + fused
+        # metrics + lpips) is DISPATCHED, then view i-1's results are
+        # fetched and written while i renders. The device executes in
+        # dispatch order (render i -> metrics i -> render i+1), so fetching
+        # i's scalars never waits on i+1's render; host fetch/encode/IO
+        # overlap device compute instead of serializing after it.
+        pending = None
         for i, sample in enumerate(samples):
             if werr:
                 # fail fast on writer errors (e.g. disk full on view 1)
@@ -158,28 +192,17 @@ def evaluate_and_save(render_fn, samples, img_wh, out_dir: str,
             pred_dev = jnp.reshape(out["rgb"], (h, w, 3))
             target = np.asarray(sample["target"],
                                 np.float32).reshape(h, w, 3)
-            p_dev, s_dev = metrics_fn(pred_dev, jnp.asarray(target))
-            rgb = np.asarray(pred_dev, np.float32)
-            wq.put(("jpg", os.path.join(out_dir, f"image{i:03d}.jpg"),
-                    io.to8b(rgb)))
-            if "depth" in out:
-                depth = np.asarray(out["depth"], np.float32).reshape(h, w)
-                path = os.path.join(out_dir, f"depth_raw{i:03d}.npz")
-                wq.put(("npz", path, depth))
-                depth_files.append(path)
-                depth_max = max(depth_max, float(np.nanmax(depth)))
-            vals["psnr"].append(float(p_dev))
-            vals["ssim"].append(float(s_dev))
+            tgt_dev = jnp.asarray(target)
+            p_dev, s_dev = metrics_fn(pred_dev, tgt_dev)
+            lp_dev = None
             if lpips_model is not None and lpips_model.pretrained:
-                vals["lpips"].append(float(lpips_model(
-                    jnp.asarray(rgb)[None], jnp.asarray(target)[None])[0]))
-            if "instance_mask" in sample:
-                mask = np.asarray(sample["instance_mask"]).reshape(h, w) > 0
-                op = object_psnr(rgb, target, mask)
-                if op is not None:
-                    vals["psnr_obj"].append(op)
-            if frames is not None:
-                frames.append(io.to8b(rgb))
+                lp_dev = lpips_model(pred_dev[None], tgt_dev[None])[0]
+            item = (i, sample, out, pred_dev, target, p_dev, s_dev, lp_dev)
+            if pending is not None:
+                _finish(pending)
+            pending = item
+        if pending is not None:
+            _finish(pending)
     finally:
         # drain + join the writer even when render/metrics raise mid-loop:
         # an abandoned daemon writer can be killed mid-write at interpreter
