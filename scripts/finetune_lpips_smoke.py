@@ -67,6 +67,7 @@ def main():
     cfg = preset(
         "neo360_fast", root_dir=root, exp_name="finetune", ckpt_dir=ckpt_dir,
         img_wh=(320, 240), run_max_steps=steps, steps_per_call=64,
+        log_every_steps=64,               # one metrics row per dispatch
         save_every_steps=10 * steps,      # no val-render compile in the smoke
         finetune_lpips=True, lpips_weights=npz, ckpt_path=stage1_orbax)
     print(f"stage-2 finetune: {steps} steps, 900-ray 30x30 patches, "
@@ -82,7 +83,9 @@ def main():
     ts = np.array([r["time"] for r in rows if "mse" in r])
     st = np.array([r["step"] for r in rows if "mse" in r])
     rays = 900  # patch_size^2
-    if len(ts) > 2:
+    if len(ts) >= 2:
+        # >=2 rows give at least one whole-dispatch interval; median over
+        # however many exist (compile/startup excluded by construction)
         per = float(np.median(np.diff(ts) / np.diff(st)))
         sustained = rays / per
     else:
