@@ -307,7 +307,7 @@ def make_loss_fn(cfg: Config, model, variables, lpips_model=None):
 # renderers (encode-once, tiled)
 # ---------------------------------------------------------------------------
 
-def _scene_pack_cache(build_pack):
+def _scene_pack_cache(build_pack, mesh=None):
     """Per-scene encode cache for eval-time render_fns.
 
     Few-shot source stacks are FIXED per scene (reference
@@ -331,6 +331,13 @@ def _scene_pack_cache(build_pack):
         if key is not None and key in cache:
             return cache[key]
         pack = build_pack(variables, sample)
+        if mesh is not None:
+            # replicate the pack across the mesh ONCE per scene: a
+            # non-replicated pack makes every sharded renderer call pay an
+            # n-way host broadcast of the encoded tables (measured on the
+            # 8-virtual-device mesh, scripts/mesh_render_scaling.py)
+            from neo360_tpu.parallel.sharding import replicate_tree
+            pack = replicate_tree(pack, mesh)
         if key is not None:
             cache.clear()
             cache[key] = pack

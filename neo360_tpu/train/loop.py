@@ -317,14 +317,21 @@ def make_image_renderer(render_chunk_fn: Callable, chunk: int = 4096,
     arrays. One jit per distinct padded size (sizes are quantized by `chunk`,
     so in practice one).
 
-    With a `mesh`, each tile's rays are sharded over the mesh's "data" axis —
-    the NeRF analogue of context parallelism: every chip renders a slice of
-    the tile and XLA gathers the outputs (replacing the reference's eval-time
-    Lightning all_gather, interface.py:30-50).
+    With a `mesh`, the TILE axis is sharded over the mesh's "data" axis via
+    shard_map — the NeRF analogue of context parallelism: every chip renders
+    its own contiguous block of full-`chunk` tiles (so the per-chip tile size
+    stays at the tuned VMEM knee) and XLA gathers the outputs (replacing the
+    reference's eval-time Lightning all_gather, interface.py:30-50).
+
+    shard_map, not with_sharding_constraint: rays are embarrassingly
+    parallel, so the partitioning is made explicit per-device rather than
+    left to GSPMD propagation — which was measured REPLICATING the full
+    NeRFTP body on every device (scripts/mesh_render_scaling.py: 8 virtual
+    devices took 7.99x the 1-device wall on one core; the pure-matmul
+    control partitioned at 1.04x, isolating the model body as the
+    propagation failure).
     """
-    if mesh is not None and chunk % mesh.shape["data"] != 0:
-        raise ValueError(f"chunk {chunk} must divide by data axis "
-                         f"{mesh.shape['data']}")
+    ndev = 1 if mesh is None else int(mesh.shape["data"])
 
     @functools.partial(jax.jit, static_argnames=("n_valid", "n_padded"))
     def _render(params, rays, n_valid: int, n_padded: int):
@@ -335,18 +342,25 @@ def make_image_renderer(render_chunk_fn: Callable, chunk: int = 4096,
         padded = {k: jnp.pad(v, pad_width, mode="edge") for k, v in rays.items()}
         tiled = {k: v.reshape((n_padded // chunk, chunk) + v.shape[1:])
                  for k, v in padded.items()}
+
+        def local_map(params, tiled):
+            return jax.lax.map(lambda c: render_chunk_fn(params, c), tiled)
+
         if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            sh = NamedSharding(mesh, P(None, "data"))
-            tiled = {k: jax.lax.with_sharding_constraint(v, sh)
-                     for k, v in tiled.items()}
-        out = jax.lax.map(lambda c: render_chunk_fn(params, c), tiled)
+            from jax.sharding import PartitionSpec as P
+            out = jax.shard_map(local_map, mesh=mesh,
+                                in_specs=(P(), P("data")),
+                                out_specs=P("data"),
+                                check_vma=False)(params, tiled)
+        else:
+            out = local_map(params, tiled)
         return {k: v.reshape((n_padded,) + v.shape[2:])[:n_valid]
                 for k, v in out.items()}
 
     def render(params, rays):
         n = next(iter(rays.values())).shape[0]
-        n_padded = ((n + chunk - 1) // chunk) * chunk
+        quantum = chunk * ndev
+        n_padded = ((n + quantum - 1) // quantum) * quantum
         return _render(params, rays, n, n_padded)
 
     return render

@@ -78,6 +78,14 @@ def main():
             "enc": encoded, "src": src}
     rays = {k: jnp.asarray(np.asarray(sample[k], np.float32))
             for k in ("rays_o", "rays_d", "viewdirs")}
+    # equalize padded work between the 1- and 8-device renderers: tile the
+    # view's rays to a multiple of chunk*8 so neither variant pads extra
+    # tiles (the production 76,800-ray view pads <1%; at 3,072 rays the
+    # mesh quantum would inflate the 8-device work 1.33x and corrupt the
+    # overhead estimate)
+    n_rays = int(os.environ.get("MS_RAYS", "8192"))
+    reps = -(-n_rays // rays["rays_o"].shape[0])
+    rays = {k: jnp.tile(v, (reps, 1))[:n_rays] for k, v in rays.items()}
 
     def render_chunk(pack, rays):
         rays = dict(rays, **pack["src"])
@@ -99,6 +107,10 @@ def main():
         return (time.time() - t0) / n
 
     t1 = timed(tl.make_image_renderer(render_chunk, chunk))
+    # replicate the encoded pack ONCE, as the production per-scene encode
+    # cache does — otherwise every call pays an 8-way host broadcast of the
+    # tables, which a real eval amortizes over ~99 views
+    pack = sh.replicate_tree(pack, mesh)
     t8 = timed(tl.make_image_renderer(render_chunk, chunk, mesh=mesh))
     overhead = t8 / t1 - 1.0
     print(f"single-device render      : {t1 * 1e3:8.1f} ms/view")

@@ -58,11 +58,19 @@ def test_renderer_mesh_sharded_matches_unsharded():
                                np.asarray(a["depth"]), rtol=1e-5, atol=1e-5)
 
 
-def test_renderer_rejects_indivisible_chunk():
-    import pytest
+def test_renderer_mesh_indivisible_chunk_ok():
+    # tile-axis sharding (shard_map) has no chunk % n_devices constraint:
+    # each device renders whole tiles, so any chunk size is legal
+    import jax.numpy as jnp
     from neo360_tpu.parallel import sharding as sh
     from neo360_tpu.train.loop import make_image_renderer
 
-    mesh = sh.make_mesh()
-    with pytest.raises(ValueError):
-        make_image_renderer(_toy_chunk_fn, chunk=12, mesh=mesh)
+    mesh = sh.make_mesh()          # {"data": 8}
+    params = {"scale": jnp.asarray(2.0)}
+    sharded = make_image_renderer(_toy_chunk_fn, chunk=12, mesh=mesh)
+    rays = _rays(29, seed=5)       # ragged: pads to 96 = chunk * 8 devices
+    out = sharded(params, rays)
+    want = _toy_chunk_fn(params, rays)
+    assert out["rgb"].shape == (29, 3)
+    np.testing.assert_allclose(np.asarray(out["rgb"]),
+                               np.asarray(want["rgb"]), rtol=1e-5, atol=1e-5)
